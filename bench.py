@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""End-to-end predict throughput benchmark (audio-seconds/s/chip).
+
+Workload: the reference's headline predict configuration — 5 s utterances at
+fs=8000, MFCC(13)+LPC(15) features, 32-component diagonal GMM scoring
+against a 4-speaker bank (log/final/final-log/nperson-mix-1523-t5.log) — run
+as one fused jitted program over a padded utterance batch.
+
+Baseline: the reference achieves ~22 audio-s/s/core for features and
+~580 audio-s/s/core for scoring on its 2013 8-core CPU (BASELINE.md), i.e.
+~21.2 audio-s/s/core end-to-end. vs_baseline reports the multiple of that
+per-core number achieved by one chip (target >= 100x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                                   ".jax_cache"))
+
+import numpy as np
+
+REFERENCE_ENDTOEND_PER_CORE = 1.0 / (1.0 / 22.0 + 1.0 / 580.0)  # ~21.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from speaker_recognition_tpu.config import FeatureConfig
+    from speaker_recognition_tpu.features.extract import _feature_fn
+    from speaker_recognition_tpu.models import gmm
+
+    fs = 8000
+    utt_seconds = 5.0
+    B = 64                      # utterances per batch
+    S, K = 4, 32                # speakers, mixtures
+    L = int(fs * utt_seconds)
+    padded = -(-L // 4096) * 4096
+    fcfg = FeatureConfig()
+    d = fcfg.dim
+
+    rng = np.random.RandomState(0)
+    signals = (rng.randn(B, padded) * 3000).astype(np.float32)
+    signals[:, L:] = 0
+    lengths = np.full((B,), L, np.int32)
+    bank = gmm.GmmParams(
+        weights=jnp.asarray(np.full((S, K), 1.0 / K, np.float32)),
+        means=jnp.asarray(rng.randn(S, K, d).astype(np.float32)),
+        sigmas=jnp.asarray((0.5 + rng.rand(S, K, d)).astype(np.float32)),
+    )
+
+    feature_fn = _feature_fn(fs, fcfg, padded, "float32")
+
+    @jax.jit
+    def predict(signals, lengths, bw, bm, bs):
+        feats, mask = feature_fn(signals, lengths)
+        b = gmm.GmmParams(bw, bm, bs)
+        scores = jax.vmap(lambda X, m: gmm.bank_avg_loglik(b, X, m))(feats, mask)
+        return jnp.argmax(scores, axis=-1)
+
+    args = (jnp.asarray(signals), jnp.asarray(lengths),
+            bank.weights, bank.means, bank.sigmas)
+    jax.block_until_ready(predict(*args))  # warmup/compile
+
+    # calibrate iteration count to ~3s
+    t0 = time.perf_counter()
+    jax.block_until_ready(predict(*args))
+    once = time.perf_counter() - t0
+    iters = max(3, int(3.0 / max(once, 1e-4)))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(*args)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = B * utt_seconds * iters
+    value = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "predict_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / REFERENCE_ENDTOEND_PER_CORE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Session API — the TPU-native equivalent of src/gui/interface.py.
+
+ModelInterface holds per-speaker accumulated features, a GMMSet bank and a
+VAD; enroll/train/predict/dump/load mirror the reference's surface
+(interface.py:28-109) while the heavy paths (feature extraction, EM,
+scoring) run as batched jitted programs.
+
+Beyond the reference, predict_batch scores many utterances in one batched
+program — the throughput path the per-utterance loop of the reference
+(speaker-recognition.py:85-90) cannot express.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GmmConfig, PipelineConfig
+from ..features import extract
+from ..models import gmm as gmm_mod
+from ..models.gmmset import GMMSet
+from ..vad.ltsd import LtsdVad
+from ..utils import serialization
+
+__all__ = ["ModelInterface"]
+
+
+class ModelInterface:
+    UBM_MODEL_FILE: str | None = None  # interface.py:30 semantics
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self.features: dict[str, list] = defaultdict(list)
+        self.vad = LtsdVad(order=self.config.vad.order)
+        self.gmmset = self._new_gmmset()
+
+    def _new_gmmset(self) -> GMMSet:
+        ubm = None
+        if self.UBM_MODEL_FILE:
+            with open(self.UBM_MODEL_FILE) as f:
+                ubm = serialization.load_reference_gmm(f)
+        return GMMSet(gmm_order=self.config.gmm.n_mixtures, ubm=ubm,
+                      reject_threshold=self.config.reject_threshold,
+                      config=self.config.gmm, dtype=self.config.dtype)
+
+    # -- VAD ---------------------------------------------------------------
+
+    def init_noise(self, fs: int, signal):
+        """Calibrate the LTSD VAD from an environment-noise clip
+        (interface.py:36-41)."""
+        self.vad.init_params_by_noise(fs, np.asarray(signal))
+
+    def filter(self, fs: int, signal):
+        """VAD-filter a signal; keep the original length-1/3 rule of
+        interface.py:43-53 (empty result when VAD strips too much)."""
+        ret, intervals = self.vad.filter(np.asarray(signal))
+        if len(ret) > len(signal) / 3:
+            return ret
+        return np.array([])
+
+    # -- enroll / train ----------------------------------------------------
+
+    def enroll(self, name: str, fs: int, signal):
+        """Extract features and append to the speaker's pool
+        (interface.py:55-61)."""
+        feat = extract.mix_feature(fs, np.asarray(signal), self.config.features,
+                                   dtype=self.config.dtype)
+        self.features[name].append(feat)
+
+    def train(self, seed: int = 0):
+        """Fit all enrolled speakers in one vmapped EM program
+        (interface.py:77-83 runs this serially per speaker)."""
+        self.gmmset = self._new_gmmset()
+        for name, feats in self.features.items():
+            self.gmmset.fit_new(np.concatenate(feats, axis=0), name)
+        self.gmmset.train(seed=seed)
+
+    # -- predict -----------------------------------------------------------
+
+    def predict(self, fs: int, signal):
+        """Label of one utterance, or None on feature failure
+        (interface.py:85-94)."""
+        try:
+            feat = extract.mix_feature(fs, np.asarray(signal),
+                                       self.config.features,
+                                       dtype=self.config.dtype)
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            return None
+        return self.gmmset.predict_one(feat)
+
+    def predict_with_rejection(self, fs: int, signal):
+        feat = extract.mix_feature(fs, np.asarray(signal),
+                                   self.config.features, dtype=self.config.dtype)
+        return self.gmmset.predict_one_with_rejection(feat)
+
+    def predict_batch(self, fs: int, signals) -> list:
+        """Batched prediction: features + bank scoring for many utterances
+        in one padded device program. Returns labels in input order."""
+        assert self.gmmset.bank is not None
+        sigs = [np.asarray(s, np.float64) for s in signals]
+        for i, s in enumerate(sigs):
+            if s.ndim > 1:
+                sigs[i] = s.mean(axis=1)
+        L = max(len(s) for s in sigs)
+        L = -(-L // extract.LENGTH_BUCKET) * extract.LENGTH_BUCKET
+        batch = np.zeros((len(sigs), L), np.float32)
+        lengths = np.zeros(len(sigs), np.int32)
+        for i, s in enumerate(sigs):
+            batch[i, : len(s)] = s
+            lengths[i] = len(s)
+        feats, mask = extract.extract_batch(
+            jnp.asarray(batch), jnp.asarray(lengths), fs,
+            self.config.features, dtype=self.config.dtype)
+        dt = jnp.dtype(self.config.dtype)
+        bank = jax.tree.map(lambda a: jnp.asarray(a, dt), self.gmmset.bank)
+        scores = _batched_bank_scores(bank, feats.astype(dt), mask)
+        idx = np.asarray(jnp.argmax(scores, axis=-1))
+        return [self.gmmset.y[int(i)] for i in idx]
+
+    # -- persistence -------------------------------------------------------
+
+    def dump(self, fname: str):
+        """Serialize the whole session to one npz artifact
+        (vs interface.py:96-101's cPickle)."""
+        vad_state = None
+        if self.vad.noise_amp is not None:
+            vad_state = {"noise_amp": self.vad.noise_amp,
+                         "lambda0": self.vad.lambda0,
+                         "lambda1": self.vad.lambda1,
+                         "window_size": self.vad.window_size,
+                         "order": self.vad.order,
+                         "fs": self.vad.fs}
+        serialization.save_session(fname, gmmset_state=self.gmmset.state(),
+                                   config=self.config, vad_state=vad_state)
+
+    @staticmethod
+    def load(fname: str) -> "ModelInterface":
+        st, config, vad_state = serialization.load_session(fname)
+        m = ModelInterface(config)
+        m.gmmset = GMMSet.from_state(st, config=config.gmm, dtype=config.dtype)
+        if vad_state is not None:
+            m.vad = LtsdVad(order=int(vad_state["order"]))
+            m.vad.noise_amp = np.asarray(vad_state["noise_amp"])
+            m.vad.lambda0 = float(vad_state["lambda0"])
+            m.vad.lambda1 = float(vad_state["lambda1"])
+            m.vad.window_size = int(vad_state["window_size"])
+            m.vad.fs = int(vad_state["fs"])
+        return m
+
+
+@jax.jit
+def _batched_bank_scores(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, d] x bank[S, K, d] -> [B, S] average log-likelihoods."""
+    return jax.vmap(lambda X, m: gmm_mod.bank_avg_loglik(bank, X, m))(feats, mask)

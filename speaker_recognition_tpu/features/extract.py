@@ -1,0 +1,175 @@
+"""Batched MFCC+LPC feature extraction — the TPU-native equivalent of
+src/feature/{__init__,MFCC,LPC}.py.
+
+Design: one jitted function per (fs, config, padded-length) triple computes
+features for a whole padded batch of utterances:
+
+  gather frames -> window+preemph (VPU) -> matmul-DFT power (MXU)
+  -> mel matmul + log (MXU+VPU) -> DCT matmul (MXU) -> masked CMVN
+  and, sharing the same windowed frames, autocorrelation + batched
+  Levinson-Durbin for LPC.
+
+The reference loops per frame in Python and per utterance in a
+multiprocessing pool; here the frame axis and the utterance axis are both
+array axes, so XLA tiles the whole pipeline onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeatureConfig, LpcConfig, MfccConfig, frame_geometry, n_frames
+from ..ops import frontend, levinson
+from ..ops.framing import frame_signal, frame_validity_mask, window_preemph
+
+# Pad single-utterance calls up to a multiple of this many samples so the jit
+# cache stays small (one compile per bucket, not per wav length).
+LENGTH_BUCKET = 4096
+
+
+def masked_cmvn(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance mean/variance normalization over valid frames.
+
+    Mirrors src/feature/MFCC.py:74-77 ((f-mu)/sigma with population std),
+    but mask-aware so zero padding cannot perturb the statistics. Skipped
+    (identity) when an utterance has <= 1 valid frame, like the reference's
+    `if feature.shape[0] > 1` guard.
+    """
+    m = mask[..., None].astype(feat.dtype)
+    count = jnp.sum(m, axis=-2, keepdims=True)
+    safe = jnp.maximum(count, 1.0)
+    mu = jnp.sum(feat * m, axis=-2, keepdims=True) / safe
+    var = jnp.sum((feat - mu) ** 2 * m, axis=-2, keepdims=True) / safe
+    sigma = jnp.sqrt(var)
+    normed = (feat - mu) / sigma
+    return jnp.where(count > 1, normed, feat)
+
+
+@functools.lru_cache(maxsize=64)
+def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str):
+    """Build and jit the batched extractor for one static geometry."""
+    mf: MfccConfig = cfg.mfcc
+    lp: LpcConfig = cfg.lpc
+    flen, fshift = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
+    if cfg.use_lpc:
+        lgeom = frame_geometry(fs, lp.win_length_ms, lp.win_shift_ms)
+        assert lgeom == (flen, fshift), (
+            "MFCC and LPC must share frame geometry to be concatenated per "
+            "frame (src/feature/__init__.py:25-30)")
+        assert lp.pre_emph == mf.pre_emph, "shared windowed frames require equal pre-emphasis"
+    T = n_frames(padded_len, flen, fshift)
+    dt = jnp.dtype(dtype)
+
+    # Compile-time constant operators (float64 on host, cast once).
+    C, S = frontend.dft_power_projection(flen, mf.fft_size)
+    mel_t = frontend.mel_filterbank(fs, mf.fft_size, mf.n_filters).T  # [bins, nb]
+    dct_full = frontend.dct_matrix(mf.n_filters)
+    dct_t = dct_full[1 : mf.n_ceps + 1].T  # [nb, nceps]; drops c0, MFCC.py:36-38
+    C = jnp.asarray(C, dt)
+    S = jnp.asarray(S, dt)
+    mel_t = jnp.asarray(mel_t, dt)
+    dct_t = jnp.asarray(dct_t, dt)
+    # The reference's 1e-100 floor (MFCC.py:7,67) cannot be represented on
+    # this backend (host->device transfer flushes magnitudes below the f32
+    # range to zero, so the floor would vanish and zero-padded frames would
+    # produce log(0) = -inf). Clamp to 1e-35: f64 rounding noise keeps real
+    # speech power far above it, so parity is unaffected.
+    floor = max(mf.power_floor, 1e-35)
+
+    @jax.jit
+    def fn(signals: jnp.ndarray, lengths: jnp.ndarray):
+        signals = signals.astype(dt)
+        frames = frame_signal(signals, flen, fshift)            # [B, T, flen]
+        mask = frame_validity_mask(lengths, T, flen, fshift)    # [B, T]
+        wp = window_preemph(frames, flen, mf.pre_emph)
+
+        re = wp @ C
+        im = wp @ S
+        power = jnp.maximum(re * re + im * im, floor)
+        logmel = jnp.log(power @ mel_t)
+        ceps = logmel @ dct_t                                   # [B, T, nceps]
+        if mf.cmvn:
+            ceps = masked_cmvn(ceps, mask)
+
+        if cfg.use_lpc:
+            lpc = levinson.lpc_from_frames(wp, lp.n_lpc)        # [B, T, n_lpc]
+            feat = jnp.concatenate([ceps, lpc], axis=-1)
+        else:
+            feat = ceps
+        return jnp.where(mask[..., None], feat, 0.0), mask
+
+    return fn
+
+
+def extract_batch(signals: jnp.ndarray, lengths: jnp.ndarray, fs: int,
+                  cfg: FeatureConfig = FeatureConfig(), dtype: str = "float32"):
+    """Features for a zero-padded batch: [B, L] -> ([B, T, d], [B, T] mask)."""
+    return _feature_fn(int(fs), cfg, int(signals.shape[-1]), dtype)(signals, lengths)
+
+
+def _pad_to_bucket(signal: np.ndarray) -> np.ndarray:
+    L = len(signal)
+    padded = -(-max(L, 1) // LENGTH_BUCKET) * LENGTH_BUCKET
+    out = np.zeros(padded, dtype=np.float32)
+    out[:L] = signal
+    return out
+
+
+def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
+                dtype: str = "float32") -> np.ndarray:
+    """Single-utterance convenience wrapper: concat(MFCC, LPC) per frame.
+
+    Drop-in for src/feature/__init__.py:25-30 (mix_feature). Accepts int or
+    float PCM; multi-channel input is averaged like MFCC.py:52-54.
+    """
+    signal = np.asarray(signal, dtype=np.float64)
+    if signal.ndim > 1:
+        signal = signal.mean(axis=1)
+    mf = cfg.mfcc
+    flen, fshift = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
+    if len(signal) <= 5 * flen:
+        raise ValueError("Signal too short!")  # MFCC.py:56
+    T = n_frames(len(signal), flen, fshift)
+    if dtype == "float64":
+        padded = np.zeros(-(-len(signal) // LENGTH_BUCKET) * LENGTH_BUCKET)
+        padded[: len(signal)] = signal
+    else:
+        padded = _pad_to_bucket(signal.astype(np.float32))
+    feat, _ = _feature_fn(int(fs), cfg, len(padded), dtype)(
+        jnp.asarray(padded)[None, :], jnp.asarray([len(signal)]))
+    return np.asarray(feat[0, :T])
+
+
+def mfcc_extract(fs: int, signal, cfg: MfccConfig = MfccConfig(),
+                 dtype: str = "float32") -> np.ndarray:
+    """MFCC only — equivalent of src/feature/MFCC.py:extract."""
+    feats = mix_feature(fs, signal, FeatureConfig(mfcc=cfg, use_lpc=False), dtype)
+    return feats
+
+
+def lpc_extract(fs: int, signal, cfg: LpcConfig = LpcConfig(),
+                dtype: str = "float32") -> np.ndarray:
+    """LPC only — equivalent of src/feature/LPC.py:extract."""
+    fcfg = FeatureConfig(
+        mfcc=MfccConfig(win_length_ms=cfg.win_length_ms,
+                        win_shift_ms=cfg.win_shift_ms,
+                        pre_emph=cfg.pre_emph),
+        lpc=cfg, use_lpc=True)
+    feats = mix_feature(fs, signal, fcfg, dtype)
+    return feats[:, fcfg.mfcc.n_ceps:]
+
+
+def diff_feature(feat: np.ndarray, nd: int = 1) -> np.ndarray:
+    """Delta / delta-delta features, src/feature/utils.py:24-31."""
+    diff = feat[1:] - feat[:-1]
+    feat = feat[1:]
+    if nd == 1:
+        return np.concatenate((feat, diff), axis=1)
+    elif nd == 2:
+        d2 = diff[1:] - diff[:-1]
+        return np.concatenate((feat[1:], diff[1:], d2), axis=1)
+    raise ValueError(f"nd must be 1 or 2, got {nd}")

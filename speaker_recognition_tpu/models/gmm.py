@@ -1,0 +1,275 @@
+"""Batched diagonal-covariance GMM with EM training and MAP adaptation.
+
+TPU-native re-design of the reference's multithreaded C++ GMM core
+(src/gmm/src/gmm.cc, src/gmm/src/gmmubm.cc). Where the reference evaluates
+the Gaussian pdf frame-by-frame with SSE fast-exp and fans the mixture loop
+out over a thread pool, here the per-frame per-component log-density is two
+matmuls over the whole frame batch:
+
+    logp[t, k] = x2[t] @ A[:, k] + x[t] @ B[:, k] + c[k]
+      A = -1/(2 sigma^2),  B = mu/sigma^2,
+      c = -1/2 sum_d mu^2/sigma^2 - sum_d log(sqrt(2 pi) sigma)
+
+so the innermost hot loop of the reference (gmm.cc:186-196) becomes pure
+MXU work, and the E-step sufficient statistics (N_k, F_k = gamma^T x,
+S_k = gamma^T x^2) are three more matmuls. All reductions are masked so a
+zero-padded frame batch yields bit-identical statistics to the ragged
+original, and all stats are associative so they psum cleanly across a
+device mesh (see parallel/).
+
+Parity notes (each behavior mirrors a reference line):
+  * sigma (not variance) is the stored parameter, floored at
+    sqrt(min_covar)            — gmm.cc:415-437
+  * per-frame posterior normalization happens in linear space with a
+    1e-15 floor when the mixture-probability sum underflows
+                               — gmm.cc:481-495
+  * N_k == 0 is floored to 1e-6 — gmm.cc:502-513
+  * init (no kmeans): means = uniformly drawn data frames, sigma = global
+    data std with ddof=1, uniform weights — gmm.cc:306-361
+  * convergence: total (summed, not averaged) log-likelihood is checked on
+    odd iterations only; stop when |dll|/|ll| < threshold and
+    dll < threshold            — gmm.cc:614-652
+  * MAP adaptation re-estimates means only, with relevance blending
+    alpha = N_k/(N_k + 16)     — gmmubm.cc:53-81, gmm.hh:110-112
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GmmConfig
+
+LOG_SQRT_2_PI = 0.5 * math.log(2.0 * math.pi)
+# Double-precision linear-space underflow threshold: the reference's 1e-15
+# probability floor (gmm.cc:482-492) only engages when the linear sum of
+# w_k * N(x) is exactly non-positive, i.e. underflowed past ~exp(-745).
+_UNDERFLOW_LOG = -745.0
+
+
+class GmmParams(NamedTuple):
+    """weights [..., K], means [..., K, d], sigmas [..., K, d].
+
+    Leading axes (if any) are a speaker bank; all ops vmap over them.
+    """
+
+    weights: jnp.ndarray
+    means: jnp.ndarray
+    sigmas: jnp.ndarray
+
+    @property
+    def n_mixtures(self) -> int:
+        return self.weights.shape[-1]
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[-1]
+
+
+def log_gaussians(X: jnp.ndarray, means: jnp.ndarray, sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame per-component Gaussian log-density as two matmuls.
+
+    X: [n, d]; means/sigmas: [K, d] -> [n, K]. Equivalent to the reference's
+    Gaussian::log_probability_of (gmm.cc:78-99) evaluated for every
+    (frame, component) pair at once.
+    """
+    inv_var = 1.0 / (sigmas * sigmas)                       # [K, d]
+    A = (-0.5 * inv_var).T                                  # [d, K]
+    B = (means * inv_var).T                                 # [d, K]
+    c = (-0.5 * jnp.sum(means * means * inv_var, axis=-1)
+         - jnp.sum(LOG_SQRT_2_PI + jnp.log(sigmas), axis=-1))  # [K]
+    return (X * X) @ A + X @ B + c[None, :]
+
+
+def log_joint(params: GmmParams, X: jnp.ndarray) -> jnp.ndarray:
+    """log(w_k * N(x_t; mu_k, sigma_k)): [n, K]."""
+    return log_gaussians(X, params.means, params.sigmas) + jnp.log(params.weights)[None, :]
+
+
+def per_frame_loglik(params: GmmParams, X: jnp.ndarray,
+                     min_prob_sum: float = 1e-15) -> jnp.ndarray:
+    """log p(x_t) per frame: [n].
+
+    logsumexp matches the reference's linear-space sum (gmm.cc:229-244)
+    everywhere except total underflow, where the reference substitutes its
+    1e-15 floor — reproduced via the _UNDERFLOW_LOG guard.
+    """
+    lse = jax.scipy.special.logsumexp(log_joint(params, X), axis=-1)
+    return jnp.where(lse > _UNDERFLOW_LOG, lse, math.log(min_prob_sum))
+
+
+def responsibilities(params: GmmParams, X: jnp.ndarray) -> jnp.ndarray:
+    """Posterior gamma[t, k] = p(k | x_t), the E-step of gmm.cc:439-495.
+
+    Computed as a stable softmax over the joint log-probabilities. The
+    reference normalizes in linear double space and therefore zeroes a frame
+    whose every joint probability underflows 1e-308; after the first EM
+    iteration (means are data points) that regime is unreachable, so the
+    stable form is parity-exact where it matters and strictly better
+    elsewhere.
+    """
+    return jax.nn.softmax(log_joint(params, X), axis=-1)
+
+
+class EmStats(NamedTuple):
+    """Masked zeroth/first/second-order sufficient statistics.
+
+    Associative across frame shards: psum(EmStats) over a data mesh axis is
+    exactly the single-device statistic (the property the reference exploits
+    with per-thread accumulator buffers, gmm.cc:447-530).
+    """
+
+    n: jnp.ndarray      # scalar: number of valid frames
+    N_k: jnp.ndarray    # [K]
+    F_k: jnp.ndarray    # [K, d]  gamma^T x
+    S_k: jnp.ndarray    # [K, d]  gamma^T x^2
+
+
+def sufficient_stats(params: GmmParams, X: jnp.ndarray, mask: jnp.ndarray) -> EmStats:
+    """E-step statistics over the valid frames of a padded batch."""
+    gamma = responsibilities(params, X) * mask[:, None].astype(X.dtype)
+    return EmStats(
+        n=jnp.sum(mask.astype(X.dtype)),
+        N_k=jnp.sum(gamma, axis=0),
+        F_k=gamma.T @ X,
+        S_k=gamma.T @ (X * X),
+    )
+
+
+def m_step(stats: EmStats, cfg: GmmConfig) -> GmmParams:
+    """Closed-form M-step with the reference's floors (gmm.cc:396-437,502-513)."""
+    N_k = jnp.where(stats.N_k == 0, cfg.min_nk, stats.N_k)
+    w = N_k / stats.n
+    w = w / jnp.sum(w)
+    means = stats.F_k / N_k[:, None]
+    var = stats.S_k / N_k[:, None] - means * means
+    sigmas = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)), cfg.min_sigma)
+    return GmmParams(w, means, sigmas)
+
+
+def map_m_step(stats: EmStats, ubm: GmmParams, cfg: GmmConfig) -> GmmParams:
+    """MAP mean re-estimation, weights/sigmas pinned to the UBM.
+
+    alpha_k = N_k/(N_k + r), mean_k = alpha_k E_k[x] + (1-alpha_k) ubm_mean_k
+    (gmmubm.cc:53-74; update_weights/update_variance are explicit no-ops,
+    gmmubm.cc:40-51,76-81).
+    """
+    N_k = jnp.where(stats.N_k == 0, cfg.min_nk, stats.N_k)
+    alpha = (N_k / (N_k + cfg.relevance_factor))[:, None]
+    means = alpha * (stats.F_k / N_k[:, None]) + (1.0 - alpha) * ubm.means
+    return GmmParams(ubm.weights, means, ubm.sigmas)
+
+
+def init_params(X: jnp.ndarray, mask: jnp.ndarray, K: int,
+                key: jax.Array) -> GmmParams:
+    """Reference init (kmeans off): random data frames as means, global data
+    std (ddof=1) as every sigma, uniform weights (gmm.cc:306-361).
+
+    Valid frames must form a contiguous prefix of X (they do: the feature
+    extractor packs them first), so sampling an index < n samples a valid
+    frame.
+    """
+    dt = X.dtype
+    m = mask.astype(dt)[:, None]
+    n = jnp.sum(m)
+    data_mean = jnp.sum(X * m, axis=0) / n
+    ss = jnp.sum((X - data_mean) ** 2 * m, axis=0) / (n - 1.0)
+    sigma0 = jnp.sqrt(ss)
+    idx = jax.random.randint(key, (K,), 0, jnp.maximum(n.astype(jnp.int32), 1))
+    means = X[idx]
+    return GmmParams(
+        weights=jnp.full((K,), 1.0 / K, dtype=dt),
+        means=means,
+        sigmas=jnp.broadcast_to(sigma0, (K, X.shape[-1])).astype(dt),
+    )
+
+
+def total_loglik(params: GmmParams, X: jnp.ndarray, mask: jnp.ndarray,
+                 min_prob_sum: float = 1e-15) -> jnp.ndarray:
+    """Summed log-likelihood over valid frames (GMM::log_probability_of)."""
+    return jnp.sum(per_frame_loglik(params, X, min_prob_sum) * mask.astype(X.dtype))
+
+
+def avg_loglik(params: GmmParams, X: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame average score, the quantity GMMSet ranks speakers by
+    (src/gui/skgmm.py:33-39: sum/len)."""
+    n = jnp.maximum(jnp.sum(mask.astype(X.dtype)), 1.0)
+    return total_loglik(params, X, mask) / n
+
+
+def _em_loop(X, mask, params0, cfg: GmmConfig, step_fn):
+    """Shared training loop: iterate `step_fn`, check convergence on odd
+    iterations against the total log-likelihood (gmm.cc:614-652)."""
+    dt = X.dtype
+    neg_inf = jnp.asarray(-jnp.finfo(dt).max, dt)
+
+    def cond(carry):
+        _, _, i, done = carry
+        return (i < cfg.n_iterations) & ~done
+
+    def body(carry):
+        params, last_ll, i, done = carry
+        new_params = step_fn(params)
+        ll = total_loglik(new_params, X, mask, cfg.min_prob_sum)
+        check = (i % 2) == 1
+        ll_diff = ll - last_ll
+        converged = (jnp.abs(ll_diff) / jnp.abs(ll) < cfg.threshold) & (ll_diff < cfg.threshold)
+        return (new_params,
+                jnp.where(check, ll, last_ll),
+                i + 1,
+                check & converged)
+
+    params, ll, _, _ = jax.lax.while_loop(cond, body, (params0, neg_inf, jnp.int32(0), jnp.asarray(False)))
+    return params, ll
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit(X: jnp.ndarray, mask: jnp.ndarray, cfg: GmmConfig, key: jax.Array) -> tuple[GmmParams, jnp.ndarray]:
+    """Full EM fit of one GMM on one (padded) utterance's frames.
+
+    Equivalent of GMMTrainerBaseline::train (gmm.cc:581-653). Returns
+    (params, final total log-likelihood). jit-compiled; vmap over a leading
+    speaker axis to train a whole enrollment bank in one program.
+    """
+    params0 = init_params(X, mask, cfg.n_mixtures, key)
+    step = lambda p: m_step(sufficient_stats(p, X, mask), cfg)
+    return _em_loop(X, mask, params0, cfg, step)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_from_ubm(X: jnp.ndarray, mask: jnp.ndarray, ubm: GmmParams,
+                 cfg: GmmConfig) -> tuple[GmmParams, jnp.ndarray]:
+    """MAP adaptation from a UBM (GMMUBMTrainerBaseline, gmmubm.cc:25-81).
+
+    Init is a copy of the UBM; every iteration re-blends the means.
+    """
+    step = lambda p: map_m_step(sufficient_stats(p, X, mask), ubm, cfg)
+    return _em_loop(X, mask, ubm, cfg, step)
+
+
+# --- speaker-bank scoring -------------------------------------------------
+
+def bank_avg_loglik(bank: GmmParams, X: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Score one utterance against a stacked bank of S GMMs in one shot.
+
+    bank: weights [S, K], means/sigmas [S, K, d]; X: [n, d] -> [S].
+    Replaces the reference's per-speaker Python loop over models
+    (skgmm.py:33-39) with a single batched einsum-shaped program; under
+    pjit the S axis shards across chips ('bank' mesh axis) and the argmax
+    gathers over ICI.
+    """
+    return jax.vmap(lambda w, m, s: avg_loglik(GmmParams(w, m, s), X, mask))(
+        bank.weights, bank.means, bank.sigmas)
+
+
+def stack_params(params_list) -> GmmParams:
+    """Stack per-speaker GmmParams into a bank with leading S axis."""
+    return GmmParams(
+        weights=jnp.stack([p.weights for p in params_list]),
+        means=jnp.stack([p.means for p in params_list]),
+        sigmas=jnp.stack([p.sigmas for p in params_list]),
+    )

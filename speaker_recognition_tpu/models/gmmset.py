@@ -1,0 +1,175 @@
+"""Speaker model bank: enrollment, batched scoring, open-set rejection.
+
+Re-design of the reference's GMMSet (src/gui/skgmm.py:11-39 and
+src/testbench/gmmset.py:16-105). The reference loops over per-speaker GMM
+objects to score an utterance; here the bank is one stacked GmmParams
+([S, K, d]) and scoring every speaker against every frame is a single
+batched program (models/gmm.py:bank_avg_loglik) — under pjit the S axis
+shards across chips ('bank' mesh axis, see parallel/).
+
+Training is equally batched: per-speaker feature sets are padded to a
+common frame count and the EM fit vmaps over the speaker axis, replacing
+the reference's serial fit loop (src/gui/interface.py:81-82).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GmmConfig
+from . import gmm
+
+__all__ = ["GMMSet"]
+
+
+def _pad_stack(feature_list):
+    """list of [T_i, d] -> ([S, T_max, d], [S, T_max] mask)."""
+    d = feature_list[0].shape[1]
+    T = max(f.shape[0] for f in feature_list)
+    X = np.zeros((len(feature_list), T, d), np.float64)
+    mask = np.zeros((len(feature_list), T), bool)
+    for i, f in enumerate(feature_list):
+        X[i, : f.shape[0]] = f
+        mask[i, : f.shape[0]] = True
+    return X, mask
+
+
+class GMMSet:
+    """Bank of per-speaker GMMs with optional UBM for MAP + rejection.
+
+    API mirrors src/testbench/gmmset.py:GMMSet: fit_new/fit, predict_one,
+    predict_one_scores, predict_one_with_rejection; plus batched variants
+    (predict_batch) that the reference lacks.
+    """
+
+    def __init__(self, gmm_order: int = 32, ubm: gmm.GmmParams | None = None,
+                 reject_threshold: float = 10.0, config: GmmConfig | None = None,
+                 dtype: str = "float32"):
+        self.ubm = ubm
+        self.reject_threshold = reject_threshold  # gmmset.py:18
+        if ubm is not None:
+            self.gmm_order = ubm.n_mixtures  # gmmset.py:24-27
+        else:
+            self.gmm_order = gmm_order
+        self.config = config or GmmConfig(n_mixtures=self.gmm_order)
+        self.dtype = dtype
+        self.y: list[str] = []
+        self._pending: list[np.ndarray] = []
+        self.bank: gmm.GmmParams | None = None
+
+    # -- enrollment --------------------------------------------------------
+
+    def fit_new(self, x: np.ndarray, label: str):
+        """Queue one speaker's frames; the actual (batched) fit happens in
+        train(). Mirrors gmmset.py:29-34 but defers so all speakers train in
+        one vmapped program."""
+        self.y.append(label)
+        self._pending.append(np.asarray(x, np.float64))
+
+    def fit(self, X, y):
+        """Group samples by label and enroll (gmmset.py:36-53)."""
+        grouped: dict[str, list] = {}
+        for xi, yi in zip(X, y):
+            grouped.setdefault(yi, []).append(np.asarray(xi))
+        for label, parts in grouped.items():
+            self.fit_new(np.concatenate(parts, axis=0), label)
+        self.train()
+
+    def train(self, seed: int = 0):
+        """Fit every pending speaker in one vmapped EM program."""
+        if not self._pending:
+            return
+        dt = jnp.dtype(self.dtype)
+        Xs, masks = _pad_stack(self._pending)
+        Xs = jnp.asarray(Xs, dt)
+        masks = jnp.asarray(masks)
+        S = Xs.shape[0]
+        cfg = self.config
+        if self.ubm is not None:
+            ubm = jax.tree.map(lambda a: jnp.asarray(a, dt), self.ubm)
+            fit = jax.vmap(lambda x, m: gmm.fit_from_ubm(x, m, ubm, cfg))
+            new_bank, _ = fit(Xs, masks)
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(seed), S)
+            fit = jax.vmap(lambda x, m, k: gmm.fit(x, m, cfg, k))
+            new_bank, _ = fit(Xs, masks, keys)
+        new_bank = jax.tree.map(lambda a: np.asarray(a), new_bank)
+        if self.bank is None:
+            self.bank = new_bank
+        else:
+            self.bank = gmm.GmmParams(*(np.concatenate([old, new], axis=0)
+                                        for old, new in zip(self.bank, new_bank)))
+        self._pending = []
+
+    # -- scoring -----------------------------------------------------------
+
+    def _scores(self, x: np.ndarray) -> np.ndarray:
+        """Per-speaker average log-likelihood of one utterance: [S]."""
+        assert self.bank is not None, "train() must run before predict"
+        dt = jnp.dtype(self.dtype)
+        bank = jax.tree.map(lambda a: jnp.asarray(a, dt), self.bank)
+        X = jnp.asarray(x, dt)
+        mask = jnp.ones(X.shape[0], dtype=bool)
+        return np.asarray(gmm.bank_avg_loglik(bank, X, mask))
+
+    def predict_one_scores(self, x):
+        return list(self._scores(x))
+
+    def predict_one(self, x) -> str:
+        """argmax over per-speaker scores (skgmm.py:33-39; the pygmm flavor
+        normalizes by frame count, gmmset.py:96-100 — argmax invariant)."""
+        scores = self._scores(x)
+        return self.y[int(np.argmax(scores))]
+
+    def predict(self, X):
+        return [self.predict_one(x) for x in X]
+
+    def predict_one_with_rejection(self, x):
+        """Open-set decision (gmmset.py:69-81): reject (None) when the best
+        per-frame score beats the UBM's by less than reject_threshold."""
+        assert self.ubm is not None, \
+            "UBM must be given prior to conduct reject prediction."
+        scores = self._scores(x)
+        best = int(np.argmax(scores))
+        dt = jnp.dtype(self.dtype)
+        ubm = jax.tree.map(lambda a: jnp.asarray(a, dt), self.ubm)
+        X = jnp.asarray(x, dt)
+        ubm_score = float(gmm.avg_loglik(ubm, X, jnp.ones(X.shape[0], dtype=bool)))
+        if scores[best] - ubm_score < self.reject_threshold:
+            return None
+        return self.y[best]
+
+    def predict_with_reject(self, X):
+        return [self.predict_one_with_rejection(x) for x in X]
+
+    # -- persistence helpers ----------------------------------------------
+
+    def state(self) -> dict:
+        assert self.bank is not None
+        st = {
+            "labels": list(self.y),
+            "weights": np.asarray(self.bank.weights),
+            "means": np.asarray(self.bank.means),
+            "sigmas": np.asarray(self.bank.sigmas),
+            "reject_threshold": self.reject_threshold,
+        }
+        if self.ubm is not None:
+            st["ubm_weights"] = np.asarray(self.ubm.weights)
+            st["ubm_means"] = np.asarray(self.ubm.means)
+            st["ubm_sigmas"] = np.asarray(self.ubm.sigmas)
+        return st
+
+    @classmethod
+    def from_state(cls, st: dict, config: GmmConfig | None = None,
+                   dtype: str = "float32") -> "GMMSet":
+        ubm = None
+        if "ubm_weights" in st:
+            ubm = gmm.GmmParams(st["ubm_weights"], st["ubm_means"], st["ubm_sigmas"])
+        obj = cls(gmm_order=st["weights"].shape[-1], ubm=ubm,
+                  reject_threshold=float(st["reject_threshold"]),
+                  config=config, dtype=dtype)
+        obj.y = [str(l) for l in st["labels"]]
+        obj.bank = gmm.GmmParams(st["weights"], st["means"], st["sigmas"])
+        return obj

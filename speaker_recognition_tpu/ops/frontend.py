@@ -1,0 +1,111 @@
+"""Host-side construction of the constant linear operators of the frontend.
+
+The reference extracts MFCC frame-by-frame in a Python loop
+(src/feature/MFCC.py:57-70): window, pre-emphasis, |FFT|^2, mel matmul, log,
+DCT. On TPU the whole pipeline is three matmuls over a *batch* of frames:
+
+    power[t, b] = (frames @ DFT_re)^2 + (frames @ DFT_im)^2      (MXU)
+    mel[t, m]   = log(power @ MEL^T)                             (MXU + VPU)
+    ceps[t, c]  = mel @ DCT_slice^T                              (MXU)
+
+All matrices here are built once per (fs, config) in float64 NumPy and cast
+to the compute dtype; they are compile-time constants under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+__all__ = [
+    "hamming",
+    "mel_filterbank",
+    "dct_matrix",
+    "dft_power_projection",
+    "windowed_preemph_operator",
+]
+
+
+def hamming(n: int) -> np.ndarray:
+    """Hamming window with the reference's half-sample phase offset.
+
+    Mirrors src/feature/MFCC.py:14-16:
+        0.54 - 0.46*cos(2*pi/n * (arange(n)+0.5))
+    (note the +0.5 — this differs from numpy.hamming and matters for parity).
+    """
+    return 0.54 - 0.46 * np.cos(2 * np.pi / n * (np.arange(n) + 0.5))
+
+
+def mel_filterbank(fs: int, fft_size: int, n_bands: int) -> np.ndarray:
+    """Exponentially-spaced mel filterbank, transcribed from the melfb.m
+    formulation used by the reference (src/feature/MFCC.py:81-105).
+
+    Returns M of shape [n_bands, fft_size//2 + 1]; mel energies are
+    M @ power_spectrum. Weights are the "2*(1-pm)" / "2*pm" triangular pair
+    accumulated per FFT bin.
+    """
+    f0 = 700.0 / fs
+    fn2 = fft_size // 2
+    lr = math.log(1 + 0.5 / f0) / (n_bands + 1)
+    bl = fft_size * f0 * (np.exp(np.array([0.0, 1.0, n_bands, n_bands + 1]) * lr) - 1)
+    b1 = int(math.floor(bl[0])) + 1
+    b2 = int(math.ceil(bl[1]))
+    b3 = int(math.floor(bl[2]))
+    b4 = min(fn2, int(math.ceil(bl[3]))) - 1
+    # The reference indexes pf[] by loop counter c while writing to FFT-bin
+    # column c+1, which is only coherent because bl[0] == 0 -> b1 == 1 always
+    # (exp(0)-1 == 0). Assert the invariant rather than silently inherit it.
+    assert b1 == 1, f"mel filterbank derivation assumes b1 == 1, got {b1}"
+    pf = np.log(1 + np.arange(b1, b4 + 1, dtype=np.float64) / f0 / fft_size) / lr
+    fp = np.floor(pf).astype(np.int64)
+    pm = pf - fp
+
+    M = np.zeros((n_bands, 1 + fn2), dtype=np.float64)
+    # Falling edge of filter fp[c]-1 over bins [b2, b4]
+    c1 = np.arange(b2 - 1, b4)
+    np.add.at(M, (fp[c1] - 1, c1 + 1), 2 * (1 - pm[c1]))
+    # Rising edge of filter fp[c] over bins [1, b3]
+    c2 = np.arange(0, b3)
+    np.add.at(M, (fp[c2], c2 + 1), 2 * pm[c2])
+    return M
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix of order n, src/feature/MFCC.py:107-113."""
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * y / (2 * n))
+    D[0] /= np.sqrt(2)
+    return D
+
+
+def dft_power_projection(frame_len: int, fft_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag projection matrices of a zero-padded DFT.
+
+    For a real frame x[0:frame_len] zero-padded to fft_size, the one-sided
+    spectrum (bins 0..fft_size//2) is
+        re[k] = sum_n x[n] cos(2 pi n k / N),  im[k] = -sum_n x[n] sin(...)
+    so |FFT|^2 = (x @ C)^2 + (x @ S)^2 with C, S of shape
+    [frame_len, fft_size//2+1]. For 256-sample frames this matmul-DFT is
+    MXU-native and replaces the per-frame fft.fft of src/feature/MFCC.py:66.
+    """
+    n = np.arange(frame_len, dtype=np.float64)[:, None]
+    k = np.arange(fft_size // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2 * np.pi * n * k / fft_size
+    return np.cos(ang), -np.sin(ang)
+
+
+def windowed_preemph_operator(frame_len: int, pre_emph: float) -> np.ndarray:
+    """Combined window+pre-emphasis as one [frame_len, frame_len] operator.
+
+    The reference applies pre-emphasis AFTER windowing
+    (src/feature/MFCC.py:61-64: frame *= window; frame[1:] -= 0.95*frame[:-1])
+    — nonstandard order, load-bearing for parity. As a linear map:
+        y = A @ (w * x),  A = I - pre_emph * subdiag
+    Returned operator B satisfies y = x @ B^T i.e. B = A @ diag(w).
+    """
+    w = hamming(frame_len)
+    A = np.eye(frame_len)
+    A[np.arange(1, frame_len), np.arange(frame_len - 1)] = -pre_emph
+    return A * w[None, :]

@@ -1,0 +1,73 @@
+"""Batched Levinson-Durbin recursion for LPC on TPU.
+
+The reference computes LPC per frame through scikits.talkbox's
+levinson_lpc.lpc (src/feature/LPC.py:40-44): biased autocorrelation followed
+by an order-p Levinson recursion returning a = [1, a_1..a_p]. The recursion
+is inherently sequential in the *order* dimension (p=15), but embarrassingly
+parallel across frames — so we run a `lax.fori_loop` of p steps where every
+step is a vectorized op over the whole [..., T] frame batch (VPU work; the
+sequential depth is only 15).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["autocorrelation", "levinson", "lpc_from_frames"]
+
+
+def autocorrelation(frames: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Biased autocorrelation r[0..order] of each frame.
+
+    r_j = sum_t x[t] x[t+j] / n — the same quantity talkbox's acorr_lpc
+    produces (the 1/n scale cancels in the Levinson recursion but is kept for
+    oracle comparisons). frames: [..., n] -> [..., order+1].
+    """
+    n = frames.shape[-1]
+    cols = []
+    for j in range(order + 1):
+        cols.append(jnp.sum(frames[..., : n - j] * frames[..., j:], axis=-1))
+    return jnp.stack(cols, axis=-1) / n
+
+
+def levinson(r: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levinson-Durbin: solve the Toeplitz normal equations.
+
+    r: [..., p+1] autocorrelation. Returns (a, e) with a: [..., p+1],
+    a[..., 0] = 1, and e the final prediction error. An all-zero frame
+    (r[0] == 0) yields NaN coefficients, exactly like talkbox — the caller
+    zeroes them (src/feature/LPC.py:56).
+    """
+    p = r.shape[-1] - 1
+    idx = jnp.arange(p + 1)
+
+    a0 = jnp.zeros_like(r).at[..., 0].set(1.0)
+    e0 = r[..., 0]
+
+    def body(i, carry):
+        a, e = carry
+        # acc = r[i] + sum_{j=1..i-1} a[j] * r[i-j]
+        gather = jnp.clip(i - idx, 0, p)
+        r_rev = jnp.take(r, gather, axis=-1)          # r[i-j] at position j
+        inner = (idx >= 1) & (idx < i)
+        acc = jnp.take(r, i, axis=-1) + jnp.sum(jnp.where(inner, a * r_rev, 0.0), axis=-1)
+        k = -acc / e
+        a_rev = jnp.take(a, gather, axis=-1)          # a[i-j] at position j
+        a = a + jnp.where(inner, k[..., None] * a_rev, 0.0)
+        a = jnp.where(idx == i, k[..., None], a)
+        e = e * (1.0 - k * k)
+        return a, e
+
+    return jax.lax.fori_loop(1, p + 1, body, (a0, e0))
+
+
+def lpc_from_frames(frames: jnp.ndarray, order: int) -> jnp.ndarray:
+    """LPC feature of each (already windowed+pre-emphasized) frame.
+
+    Returns a[1:] with NaNs zeroed, matching src/feature/LPC.py:40-57
+    (lpc(signal, n_lpc)[0][1:], then feature[isnan] = 0).
+    """
+    r = autocorrelation(frames, order)
+    a, _ = levinson(r)
+    return jnp.nan_to_num(a[..., 1:], nan=0.0, posinf=0.0, neginf=0.0)

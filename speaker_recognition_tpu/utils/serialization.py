@@ -1,0 +1,140 @@
+"""Model persistence.
+
+Two formats:
+  * The native session artifact: one .npz holding the speaker bank, labels,
+    optional UBM, VAD calibration and the feature/GMM config — the single
+    round-trippable artifact SURVEY.md section 5 calls for (replacing the
+    reference's cPickle-of-ModelInterface with GMMs hoisted to text blobs,
+    src/gui/interface.py:96-109, src/testbench/gmmset.py:94-105).
+  * The reference's plain-text GMM format, readable and writable for
+    differential testing against the reference CLI:
+        nr_mixtures
+        w_0 ... w_{K-1}
+        then per gaussian (GMM::dump, src/gmm/src/gmm.cc:655-682;
+        Gaussian::dump, gmm.cc:101-128):
+        dim covariance_type
+        mean_0 ... mean_{d-1}
+        sigma_0 ... sigma_{d-1}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+
+import numpy as np
+
+from ..config import GmmConfig, PipelineConfig
+from ..models.gmm import GmmParams
+
+COVTYPE_DIAGONAL = 1  # src/gmm/src/type.hh enum ordering (spherical=0, diagonal=1)
+
+
+# -- reference text format -------------------------------------------------
+
+def dump_reference_gmm(params: GmmParams, fobj) -> None:
+    """Write a single GMM in the reference's text format."""
+    w = np.asarray(params.weights, np.float64)
+    means = np.asarray(params.means, np.float64)
+    sigmas = np.asarray(params.sigmas, np.float64)
+    K, d = means.shape
+    fobj.write(f"{K}\n")
+    fobj.write(" ".join(repr(float(v)) for v in w) + " \n")
+    for k in range(K):
+        fobj.write(f"{d} {COVTYPE_DIAGONAL}\n")
+        fobj.write(" ".join(repr(float(v)) for v in means[k]) + " \n")
+        fobj.write(" ".join(repr(float(v)) for v in sigmas[k]) + " \n")
+
+
+def load_reference_gmm(fobj) -> GmmParams:
+    """Parse the reference's text GMM format (whitespace-token stream, like
+    the istream>> reader in GMM::load, gmm.cc:666-682)."""
+    tokens = fobj.read().split()
+    it = iter(tokens)
+    K = int(next(it))
+    w = np.array([float(next(it)) for _ in range(K)])
+    means, sigmas = [], []
+    for _ in range(K):
+        d = int(next(it))
+        cov = int(next(it))
+        if cov != COVTYPE_DIAGONAL:
+            raise ValueError(f"unsupported covariance type {cov}")
+        means.append([float(next(it)) for _ in range(d)])
+        sigmas.append([float(next(it)) for _ in range(d)])
+    return GmmParams(w, np.array(means), np.array(sigmas))
+
+
+def dumps_reference_gmm(params: GmmParams) -> str:
+    buf = io.StringIO()
+    dump_reference_gmm(params, buf)
+    return buf.getvalue()
+
+
+def loads_reference_gmm(text: str) -> GmmParams:
+    return load_reference_gmm(io.StringIO(text))
+
+
+# -- native session artifact ----------------------------------------------
+
+def _config_to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg))
+
+
+def _config_from_json(cls, s: str):
+    """Rebuild a (possibly nested) frozen-dataclass config from its asdict
+    JSON. Field types are discovered from a default instance so this works
+    under `from __future__ import annotations` string annotations."""
+    def build(c, dd):
+        defaults = c()
+        kwargs = {}
+        for f in dataclasses.fields(c):
+            v = dd[f.name]
+            cur = getattr(defaults, f.name)
+            if dataclasses.is_dataclass(cur):
+                kwargs[f.name] = build(type(cur), v)
+            else:
+                kwargs[f.name] = v
+        return c(**kwargs)
+
+    return build(cls, json.loads(s))
+
+
+def save_session(path: str, *, gmmset_state: dict, config: PipelineConfig,
+                 vad_state: dict | None = None) -> None:
+    arrays = {}
+    meta = {"labels": gmmset_state["labels"],
+            "reject_threshold": gmmset_state["reject_threshold"],
+            "config": dataclasses.asdict(config),
+            "has_ubm": "ubm_weights" in gmmset_state,
+            "has_vad": vad_state is not None}
+    for k in ("weights", "means", "sigmas"):
+        arrays[k] = gmmset_state[k]
+    if meta["has_ubm"]:
+        for k in ("ubm_weights", "ubm_means", "ubm_sigmas"):
+            arrays[k] = gmmset_state[k]
+    if vad_state is not None:
+        arrays["vad_noise_amp"] = np.asarray(vad_state["noise_amp"])
+        meta["vad"] = {k: vad_state[k] for k in
+                       ("lambda0", "lambda1", "window_size", "order", "fs")}
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_session(path: str):
+    z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz",
+                allow_pickle=False)
+    meta = json.loads(bytes(z["meta_json"]).decode("utf-8"))
+    st = {"labels": meta["labels"],
+          "reject_threshold": meta["reject_threshold"],
+          "weights": z["weights"], "means": z["means"], "sigmas": z["sigmas"]}
+    if meta["has_ubm"]:
+        for k in ("ubm_weights", "ubm_means", "ubm_sigmas"):
+            st[k] = z[k]
+    config = _config_from_json(PipelineConfig, json.dumps(meta["config"]))
+    vad_state = None
+    if meta.get("has_vad"):
+        vad_state = dict(meta["vad"])
+        vad_state["noise_amp"] = z["vad_noise_amp"]
+    return st, config, vad_state

@@ -1,0 +1,192 @@
+"""LTSD (long-term spectral divergence) voice-activity detection.
+
+The reference delegates the LTSD computation to the external pyssp package
+(src/filters/ltsd.py:36-38 calls pyssp.vad.ltsd.LTSD.compute_with_noise) and
+wraps it with noise-clip threshold calibration; here the detector itself is
+implemented, TPU-style: the per-frame amplitude spectra of the whole signal
+are one batched windowed-DFT (MXU-shaped), the +-order long-term spectral
+envelope is a stack-of-shifts max (VPU), and only the O(n_intervals)
+segmentation runs host-side.
+
+Algorithm (Ramirez et al. 2004, "Efficient voice activity detection
+algorithms using long-term speech information"):
+
+    amp[l, k]  = |FFT(frame_l * hanning)|            (hop = window_size/2)
+    LTSE[l, k] = max_{|j| <= order} amp[l+j, k]
+    LTSD[l]    = 10 log10( (1/N) sum_k LTSE[l,k]^2 / noise[k]^2 )
+
+with noise[k] the per-bin maximum amplitude over the calibration clip's
+frames. Frames within `order` of either edge score 0.
+
+Reference-mirrored behaviors:
+  * window_size = int(0.04644 * fs), Hanning, order 5
+    (src/filters/ltsd.py:17-21,66-69)
+  * calibration: lambda0 = 1.1 * max(LTSD of the noise clip against its own
+    profile), lambda1 = 2 * lambda0 (ltsd.py:38-41)
+  * intervals are reported in window-hop units and converted to samples as
+    [start*ws/2, (finish+1)*ws/2) (ltsd.py:52-64)
+  * empty detection returns (empty array, []) (ltsd.py:60-64)
+
+Segmentation uses two-threshold hysteresis: a voiced interval is a maximal
+run of frames with LTSD > lambda0 containing at least one frame with
+LTSD > lambda1 (the reference inherits an equivalent double-threshold scheme
+from pyssp; the thresholds have the same roles here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LtsdVad", "ltsd_scores", "noise_profile", "segment_intervals"]
+
+MAGIC_WINDOW_FACTOR = 0.04644  # src/filters/ltsd.py:17
+
+
+def _hanning(n: int) -> np.ndarray:
+    return np.hanning(n)
+
+
+@functools.lru_cache(maxsize=32)
+def _spectrum_fn(window_size: int, padded_frames: int):
+    """jitted: [T, ws] frames -> [T, nb] one-sided amplitude spectra."""
+    window = jnp.asarray(_hanning(window_size), jnp.float32)
+
+    @jax.jit
+    def fn(frames):
+        return jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32) * window, axis=-1))
+
+    return fn
+
+
+def _frame(signal: np.ndarray, window_size: int) -> np.ndarray:
+    """Frame with hop ws/2; windownum = len//(ws/2) - 1 frames, matching the
+    pyssp convention the reference's interval arithmetic assumes."""
+    hop = window_size // 2
+    T = max(int(len(signal)) // hop - 1, 0)
+    if T == 0:
+        return np.zeros((0, window_size), np.float32)
+    idx = np.arange(T)[:, None] * hop + np.arange(window_size)[None, :]
+    return np.asarray(signal, np.float32)[idx]
+
+
+def noise_profile(noise_signal: np.ndarray, window_size: int) -> np.ndarray:
+    """Per-bin max amplitude over the noise clip's frames: [nb]."""
+    frames = _frame(noise_signal, window_size)
+    if frames.shape[0] == 0:
+        raise ValueError("noise clip shorter than one LTSD window")
+    amps = _spectrum_fn(window_size, frames.shape[0])(jnp.asarray(frames))
+    return np.asarray(jnp.max(amps, axis=0))
+
+
+def ltsd_scores(signal: np.ndarray, noise_amp: np.ndarray, window_size: int,
+                order: int = 5) -> np.ndarray:
+    """LTSD score per frame: [T]. Edge frames (no full +-order context) are 0."""
+    frames = _frame(signal, window_size)
+    T = frames.shape[0]
+    if T == 0:
+        return np.zeros((0,), np.float32)
+    amps = _spectrum_fn(window_size, T)(jnp.asarray(frames))  # [T, nb]
+    return np.asarray(_ltsd_from_amps(amps, jnp.asarray(noise_amp, jnp.float32),
+                                      order, window_size))
+
+
+@functools.partial(jax.jit, static_argnames=("order", "window_size"))
+def _ltsd_from_amps(amps: jnp.ndarray, noise_amp: jnp.ndarray, order: int,
+                    window_size: int) -> jnp.ndarray:
+    T, nb = amps.shape
+    # LTSE: max over 2*order+1 shifted copies (order is 5 -> 11 shifts).
+    padded = jnp.pad(amps, ((order, order), (0, 0)))
+    ltse = amps
+    for j in range(-order, order + 1):
+        if j == 0:
+            continue
+        ltse = jnp.maximum(ltse, jax.lax.dynamic_slice_in_dim(padded, j + order, T, 0))
+    # Full-spectrum sum via one-sided bins: DC once, Nyquist (even n) once,
+    # interior bins twice (|X_k| == |X_{n-k}|).
+    w = jnp.full((nb,), 2.0, amps.dtype)
+    w = w.at[0].set(1.0)
+    if window_size % 2 == 0:
+        w = w.at[-1].set(1.0)
+    ratio = jnp.where(noise_amp > 0, (ltse / jnp.maximum(noise_amp, 1e-30)) ** 2, 0.0)
+    score = 10.0 * jnp.log10(jnp.maximum(jnp.sum(ratio * w, axis=-1) / window_size,
+                                         1e-30))
+    # zero out frames lacking full long-term context, like pyssp's guard
+    l = jnp.arange(T)
+    return jnp.where((l >= order) & (l + order < T), score, 0.0)
+
+
+def segment_intervals(scores: np.ndarray, lambda0: float, lambda1: float):
+    """Two-threshold hysteresis over frame scores -> [(start, finish)] frame
+    index pairs (inclusive), host-side O(T)."""
+    above0 = scores > lambda0
+    intervals = []
+    start = None
+    strong = False
+    for i, a in enumerate(above0):
+        if a:
+            if start is None:
+                start = i
+                strong = False
+            if scores[i] > lambda1:
+                strong = True
+        else:
+            if start is not None and strong:
+                intervals.append((start, i - 1))
+            start = None
+    if start is not None and strong:
+        intervals.append((start, len(scores) - 1))
+    return intervals
+
+
+class LtsdVad:
+    """Session-level detector mirroring src/filters/ltsd.py:LTSD_VAD."""
+
+    def __init__(self, order: int = 5):
+        self.order = order
+        self.fs = 0
+        self.window_size = 0
+        self.noise_amp = None
+        self.lambda0 = 0.0
+        self.lambda1 = 0.0
+
+    def _init_window(self, fs: int):
+        self.fs = fs
+        self.window_size = int(MAGIC_WINDOW_FACTOR * fs)
+
+    @staticmethod
+    def _mononize(signal: np.ndarray) -> np.ndarray:
+        signal = np.asarray(signal)
+        if signal.ndim > 1:
+            signal = signal[:, 0]  # first channel, ltsd.py:86-89
+        return signal
+
+    def init_params_by_noise(self, fs: int, noise_signal: np.ndarray):
+        """Calibrate thresholds from a noise clip (ltsd.py:32-44)."""
+        noise_signal = self._mononize(noise_signal)
+        self._init_window(fs)
+        self.noise_amp = noise_profile(noise_signal, self.window_size)
+        scores = ltsd_scores(noise_signal, self.noise_amp, self.window_size, self.order)
+        max_ltsd = float(scores.max()) if len(scores) else 0.0
+        self.lambda0 = max_ltsd * 1.1
+        self.lambda1 = self.lambda0 * 2.0
+
+    def filter(self, signal: np.ndarray):
+        """-> (concatenated voiced samples, [(start_sample, end_sample)]).
+
+        Interval arithmetic matches ltsd.py:52-64.
+        """
+        if self.noise_amp is None:
+            raise RuntimeError("LTSD VAD not initialized with noise")
+        signal = self._mononize(signal)
+        scores = ltsd_scores(signal, self.noise_amp, self.window_size, self.order)
+        frame_ivs = segment_intervals(scores, self.lambda0, self.lambda1)
+        hop = self.window_size // 2
+        sample_ivs = [(s * hop, (f + 1) * hop) for s, f in frame_ivs]
+        parts = [signal[s:f] for s, f in sample_ivs]
+        if not parts:
+            return np.array([]), []
+        return np.concatenate(parts), sample_ivs

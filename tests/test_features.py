@@ -1,0 +1,146 @@
+"""Golden-value tests: TPU-native feature pipeline vs NumPy float64 oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from speaker_recognition_tpu.config import FeatureConfig, LpcConfig, MfccConfig
+from speaker_recognition_tpu.features import extract
+from speaker_recognition_tpu.ops import frontend, levinson
+
+import oracles
+
+
+def synth_speech(n, fs=8000, seed=0):
+    """Speech-ish test signal: sum of harmonics with noise, int16 scale."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / fs
+    f0 = 120 + 30 * np.sin(2 * np.pi * 1.3 * t)
+    sig = sum(np.sin(2 * np.pi * f0 * (h + 1) * t + rng.rand()) / (h + 1)
+              for h in range(5))
+    sig = sig * (0.5 + 0.5 * np.sin(2 * np.pi * 2.1 * t) ** 2)
+    sig += 0.01 * rng.randn(n)
+    return (sig * 8000).astype(np.int16)
+
+
+class TestFrontendConstants:
+    def test_hamming_matches_oracle(self):
+        np.testing.assert_allclose(frontend.hamming(256), oracles.oracle_hamming(256))
+
+    @pytest.mark.parametrize("fs,nfft,nb", [(8000, 2048, 50), (8000, 2048, 55),
+                                            (16000, 2048, 50), (44100, 4096, 40)])
+    def test_mel_filterbank_matches_loop_transcription(self, fs, nfft, nb):
+        ours = frontend.mel_filterbank(fs, nfft, nb)
+        ref = oracles.oracle_mel_filterbank(fs, nfft, nb)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+        assert ours.shape == (nb, nfft // 2 + 1)
+        # every filter should have positive mass
+        assert (ours.sum(axis=1) > 0).all()
+
+    def test_dct_matrix(self):
+        np.testing.assert_allclose(frontend.dct_matrix(50), oracles.oracle_dctmtx(50))
+        # orthonormal
+        D = frontend.dct_matrix(32)
+        np.testing.assert_allclose(D @ D.T, np.eye(32), atol=1e-12)
+
+    def test_dft_power_projection_matches_fft(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(256)
+        C, S = frontend.dft_power_projection(256, 2048)
+        power = (x @ C) ** 2 + (x @ S) ** 2
+        ref = np.abs(np.fft.fft(x, 2048)[:1025]) ** 2
+        np.testing.assert_allclose(power, ref, rtol=1e-9, atol=1e-9)
+
+    def test_windowed_preemph_operator(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(256)
+        B = frontend.windowed_preemph_operator(256, 0.95)
+        y = x * oracles.oracle_hamming(256)
+        y[1:] -= y[:-1] * 0.95
+        np.testing.assert_allclose(B @ x, y, atol=1e-12)
+
+
+class TestMfcc:
+    def test_mfcc_matches_oracle_f64(self):
+        sig = synth_speech(8000 * 3)
+        ours = extract.mfcc_extract(8000, sig, dtype="float64")
+        ref = oracles.oracle_mfcc(8000, sig)
+        assert ours.shape == ref.shape == ((8000 * 3 - 256) // 128 + 1, 13)
+        np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-8)
+
+    def test_mfcc_f32_close(self):
+        sig = synth_speech(8000 * 2, seed=3)
+        ours = extract.mfcc_extract(8000, sig, dtype="float32")
+        ref = oracles.oracle_mfcc(8000, sig)
+        # CMVN'd features are O(1); float32 DFT of a 256-pt frame stays tight.
+        np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+    def test_too_short_raises(self):
+        with pytest.raises(ValueError):
+            extract.mfcc_extract(8000, np.zeros(256 * 5, dtype=np.int16))
+
+
+class TestLpc:
+    def test_levinson_matches_oracle(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(256)
+        r = np.array([np.dot(x[: 256 - j], x[j:]) for j in range(16)]) / 256
+        a_ref, e_ref = oracles.oracle_levinson(r, 15)
+        a, e = levinson.levinson(jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(a), a_ref, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(float(e), e_ref, rtol=1e-8)
+
+    def test_lpc_matches_oracle_f64(self):
+        sig = synth_speech(8000 * 2, seed=5)
+        ours = extract.lpc_extract(8000, sig, dtype="float64")
+        ref = oracles.oracle_lpc(8000, sig)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-8)
+
+    def test_zero_frames_give_zero_lpc(self):
+        frames = jnp.zeros((4, 256))
+        out = levinson.lpc_from_frames(frames, 15)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestMixAndBatch:
+    def test_mix_feature_dim(self):
+        sig = synth_speech(8000 * 2, seed=6)
+        feat = extract.mix_feature(8000, sig, dtype="float64")
+        assert feat.shape[1] == 28  # 13 MFCC + 15 LPC
+        np.testing.assert_allclose(feat[:, :13], oracles.oracle_mfcc(8000, sig),
+                                   rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(feat[:, 13:], oracles.oracle_lpc(8000, sig),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_batched_ragged_matches_single(self):
+        cfg = FeatureConfig()
+        lens = [8000 * 2, 8000 * 3, 8000 * 2 + 977]
+        sigs = [synth_speech(l, seed=10 + i) for i, l in enumerate(lens)]
+        L = max(lens)
+        batch = np.zeros((3, L), dtype=np.float32)
+        for i, s in enumerate(sigs):
+            batch[i, : len(s)] = s
+        feats, mask = extract.extract_batch(
+            jnp.asarray(batch), jnp.asarray(lens), 8000, cfg, dtype="float64")
+        for i, s in enumerate(sigs):
+            single = extract.mix_feature(8000, s, cfg, dtype="float64")
+            T = single.shape[0]
+            assert int(mask[i].sum()) == T
+            np.testing.assert_allclose(np.asarray(feats[i, :T]), single,
+                                       rtol=1e-7, atol=1e-8)
+            np.testing.assert_array_equal(np.asarray(feats[i, T:]), 0.0)
+
+    def test_diff_feature(self):
+        f = np.arange(20.0).reshape(10, 2)
+        d1 = extract.diff_feature(f, nd=1)
+        assert d1.shape == (9, 4)
+        d2 = extract.diff_feature(f, nd=2)
+        assert d2.shape == (8, 6)
+
+    def test_multichannel_averaged(self):
+        sig = synth_speech(8000 * 2, seed=7).astype(np.float64)
+        stereo = np.stack([sig, sig], axis=1)
+        a = extract.mix_feature(8000, sig, dtype="float64")
+        b = extract.mix_feature(8000, stereo, dtype="float64")
+        np.testing.assert_allclose(a, b)
