@@ -17,13 +17,11 @@ import numpy as np
 
 
 def read_wav(fname):
-    """Read a wav file -> (fs, mono signal). Mirrors src/gui/utils.py:10-13
-    (asserts mono) but tolerates stereo by taking channel 0."""
-    import scipy.io.wavfile as wavfile
-    fs, signal = wavfile.read(fname)
-    if signal.ndim > 1:
-        signal = signal[:, 0]
-    return fs, signal
+    """Read a wav file -> (fs, mono signal) through the native IO runtime
+    (threaded C++ decoder, utils/native_io.py), falling back to scipy.
+    Mirrors src/gui/utils.py:10-13 but tolerates stereo (channel 0)."""
+    from .utils import native_io
+    return native_io.read_wav(fname)
 
 
 def get_args(argv=None):
