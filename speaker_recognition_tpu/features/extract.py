@@ -31,6 +31,22 @@ from ..ops.framing import frame_signal, frame_validity_mask, window_preemph
 LENGTH_BUCKET = 4096
 
 
+def _pallas_mode() -> str:
+    """'on'/'off'/'auto'/'interpret' from SRTPU_PALLAS; auto = TPU only."""
+    import os
+    return os.environ.get("SRTPU_PALLAS", "auto")
+
+
+def _use_pallas(dtype, mode: str) -> bool:
+    if mode in ("0", "off"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False  # the fused kernel is f32-only
+    if mode in ("1", "on", "interpret"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def masked_cmvn(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Per-utterance mean/variance normalization over valid frames.
 
@@ -50,8 +66,11 @@ def masked_cmvn(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str):
+def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
+                pallas_mode: str | None = None):
     """Build and jit the batched extractor for one static geometry."""
+    if pallas_mode is None:
+        pallas_mode = _pallas_mode()
     mf: MfccConfig = cfg.mfcc
     lp: LpcConfig = cfg.lpc
     flen, fshift = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
@@ -65,20 +84,23 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str):
     dt = jnp.dtype(dtype)
 
     # Compile-time constant operators (float64 on host, cast once).
-    C, S = frontend.dft_power_projection(flen, mf.fft_size)
-    mel_t = frontend.mel_filterbank(fs, mf.fft_size, mf.n_filters).T  # [bins, nb]
-    dct_full = frontend.dct_matrix(mf.n_filters)
-    dct_t = dct_full[1 : mf.n_ceps + 1].T  # [nb, nceps]; drops c0, MFCC.py:36-38
-    C = jnp.asarray(C, dt)
-    S = jnp.asarray(S, dt)
-    mel_t = jnp.asarray(mel_t, dt)
-    dct_t = jnp.asarray(dct_t, dt)
+    C_np, S_np = frontend.dft_power_projection(flen, mf.fft_size)
+    mel_np = frontend.mel_filterbank(fs, mf.fft_size, mf.n_filters).T  # [bins, nb]
+    dct_np = frontend.dct_matrix(mf.n_filters)[1 : mf.n_ceps + 1].T
+    # [nb, nceps]; drops c0, MFCC.py:36-38
+    C = jnp.asarray(C_np, dt)
+    S = jnp.asarray(S_np, dt)
+    mel_t = jnp.asarray(mel_np, dt)
+    dct_t = jnp.asarray(dct_np, dt)
     # The reference's 1e-100 floor (MFCC.py:7,67) cannot be represented on
     # this backend (host->device transfer flushes magnitudes below the f32
     # range to zero, so the floor would vanish and zero-padded frames would
     # produce log(0) = -inf). Clamp to 1e-35: f64 rounding noise keeps real
     # speech power far above it, so parity is unaffected.
     floor = max(mf.power_floor, 1e-35)
+    use_pallas = _use_pallas(dt, pallas_mode)
+    interpret = pallas_mode == "interpret" or (
+        use_pallas and jax.default_backend() != "tpu")
 
     @jax.jit
     def fn(signals: jnp.ndarray, lengths: jnp.ndarray):
@@ -87,11 +109,16 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str):
         mask = frame_validity_mask(lengths, T, flen, fshift)    # [B, T]
         wp = window_preemph(frames, flen, mf.pre_emph)
 
-        re = wp @ C
-        im = wp @ S
-        power = jnp.maximum(re * re + im * im, floor)
-        logmel = jnp.log(power @ mel_t)
-        ceps = logmel @ dct_t                                   # [B, T, nceps]
+        if use_pallas:
+            from ..ops import pallas_frontend
+            ceps = pallas_frontend.mfcc_from_frames(
+                wp, C_np, S_np, mel_np, dct_np, floor, interpret=interpret)
+        else:
+            re = wp @ C
+            im = wp @ S
+            power = jnp.maximum(re * re + im * im, floor)
+            logmel = jnp.log(power @ mel_t)
+            ceps = logmel @ dct_t                               # [B, T, nceps]
         if mf.cmvn:
             ceps = masked_cmvn(ceps, mask)
 
@@ -108,7 +135,8 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str):
 def extract_batch(signals: jnp.ndarray, lengths: jnp.ndarray, fs: int,
                   cfg: FeatureConfig = FeatureConfig(), dtype: str = "float32"):
     """Features for a zero-padded batch: [B, L] -> ([B, T, d], [B, T] mask)."""
-    return _feature_fn(int(fs), cfg, int(signals.shape[-1]), dtype)(signals, lengths)
+    return _feature_fn(int(fs), cfg, int(signals.shape[-1]), dtype,
+                       _pallas_mode())(signals, lengths)
 
 
 def _pad_to_bucket(signal: np.ndarray) -> np.ndarray:
@@ -139,7 +167,7 @@ def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
         padded[: len(signal)] = signal
     else:
         padded = _pad_to_bucket(signal.astype(np.float32))
-    feat, _ = _feature_fn(int(fs), cfg, len(padded), dtype)(
+    feat, _ = _feature_fn(int(fs), cfg, len(padded), dtype, _pallas_mode())(
         jnp.asarray(padded)[None, :], jnp.asarray([len(signal)]))
     return np.asarray(feat[0, :T])
 

@@ -1,0 +1,117 @@
+"""Fused MFCC frontend as a Pallas TPU kernel.
+
+One pass per 128-frame tile: matmul-DFT (re/im), power + floor, mel
+projection, log, DCT — with the [tile, 1025] spectra living only in VMEM.
+The XLA path (features/extract.py) materializes re/im/power between the
+DFT and mel matmuls in HBM (XLA does not fuse across matmuls); this kernel
+removes those round-trips (~50 KB/frame of HBM traffic) and keeps the MXU
+busy back-to-back.
+
+VMEM budget per grid step (f32, frame_len 256, fft 2048, 50 mel, 13 ceps):
+  C/S DFT operators  2 x 256x1025x4B  = 8.4 MB   (resident, constant blocks)
+  mel/dct operators  1025x56 + 56x16  ~ 0.3 MB   (resident)
+  frame tile + spectra  128x256 + 2x128x1025     ~ 1.2 MB
+  ~10 MB total — fits the ~16 MB/core VMEM.
+
+The mel/DCT operators are zero-padded to lane-friendly widths (mel bands
+-> multiple of 8, ceps -> unchanged; the padded mel rows are zero so the
+extra log(0) columns never reach the output because the DCT rows for them
+are also zero — instead we clamp with the same power floor).
+
+Reference semantics preserved exactly as in ops/frontend.py (floor before
+log, src/feature/MFCC.py:66-70).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mfcc_from_frames", "FRAME_TILE"]
+
+FRAME_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("floor", "interpret"))
+def _run(wp, C, S, mel_t, dct_t, floor: float, interpret: bool):
+    n, flen = wp.shape
+    nbins = C.shape[1]
+    nmel = mel_t.shape[1]
+    nceps = dct_t.shape[1]
+    n_tiles = n // FRAME_TILE
+
+    def kernel(wp_ref, c_ref, s_ref, mel_ref, dct_ref, out_ref):
+        x = wp_ref[:]
+        re = jnp.dot(x, c_ref[:], preferred_element_type=jnp.float32)
+        im = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
+        power = jnp.maximum(re * re + im * im, floor)
+        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+        # padded mel columns are all-zero -> clamp with the same floor so
+        # log stays finite; their DCT weights are zero so they cancel.
+        logmel = jnp.log(jnp.maximum(mel, floor))
+        out_ref[:] = jnp.dot(logmel, dct_ref[:],
+                             preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((FRAME_TILE, flen), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((flen, nbins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((flen, nbins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbins, nmel), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nmel, nceps), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FRAME_TILE, nceps), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nceps), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * flen * nbins * 2 + 2 * n * nbins * nmel
+            + 2 * n * nmel * nceps,
+            bytes_accessed=n * (flen + nceps) * 4,
+            transcendentals=n * nmel,
+        ),
+        interpret=interpret,
+    )(wp, C, S, mel_t, dct_t)
+
+
+def mfcc_from_frames(wp: jnp.ndarray, C: np.ndarray, S: np.ndarray,
+                     mel_t: np.ndarray, dct_t: np.ndarray, floor: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """[..., T, frame_len] windowed+pre-emphasized frames -> [..., T, nceps]
+    MFCC (pre-CMVN). Frame tiles are padded to FRAME_TILE; mel width is
+    padded to a multiple of 8 lanes with zero filters/DCT rows.
+    """
+    orig_shape = wp.shape
+    flen = orig_shape[-1]
+    wp2 = wp.reshape(-1, flen).astype(jnp.float32)
+    n = wp2.shape[0]
+    np_pad = _round_up(max(n, 1), FRAME_TILE)
+    if np_pad != n:
+        wp2 = jnp.pad(wp2, ((0, np_pad - n), (0, 0)))
+
+    nmel = mel_t.shape[1]
+    nmel_pad = _round_up(nmel, 8)
+    mel_p = np.zeros((mel_t.shape[0], nmel_pad), np.float32)
+    mel_p[:, :nmel] = mel_t
+    dct_p = np.zeros((nmel_pad, dct_t.shape[1]), np.float32)
+    dct_p[:nmel] = dct_t
+
+    out = _run(wp2, jnp.asarray(C, jnp.float32), jnp.asarray(S, jnp.float32),
+               jnp.asarray(mel_p), jnp.asarray(dct_p), float(floor), interpret)
+    out = out[:n]
+    return out.reshape(orig_shape[:-1] + (dct_t.shape[1],))

@@ -1,0 +1,142 @@
+"""Fused speaker-bank GMM scoring as a Pallas TPU kernel.
+
+Scores one utterance's frames against every enrolled speaker's GMM without
+materializing the [n_frames, S*K] joint log-density in HBM. The XLA path
+(models/gmm.bank_avg_loglik) writes that tensor between the matmul and the
+logsumexp — at S=100, K=32 that is ~25 KB per frame of HBM round-trip; this
+kernel keeps each tile in VMEM and reduces it on the spot (SURVEY.md
+section 7.9: the GMM log-posterior is one of the three named hot kernels).
+
+Layout: frames are pre-transposed to [d, n] so the mixture axis K lands on
+sublanes; the per-(speaker, component) log-density tile is
+
+    logp[SbK, nt] = A @ x2 + B @ x + cw        (two MXU matmuls)
+    A = -1/(2 sigma^2), B = mu/sigma^2, cw = const_k + log w_k
+
+and the per-speaker logsumexp is a sublane-axis reduction after a
+major-axis reshape [Sb, K, nt]. Grid = (speaker_blocks, frame_tiles) with
+the frame axis innermost, so the output block and the A/B/cw blocks stay
+VMEM-resident across the whole frame sweep (the canonical Pallas
+accumulation pattern) and the bank parameters are read from HBM exactly
+once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import gmm as gmm_mod
+
+__all__ = ["bank_sum_loglik", "bank_avg_loglik"]
+
+FRAME_TILE = 512
+SPK_BLOCK = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def _run(x2t, xt, maskf, A, B, cw, K: int, interpret: bool):
+    d, n = xt.shape
+    SK = A.shape[0]
+    S = SK // K
+    sb = min(SPK_BLOCK, S)
+    n_tiles = n // FRAME_TILE
+    s_blocks = S // sb
+
+    def kernel(x2_ref, x_ref, m_ref, a_ref, b_ref, cw_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        logp = (jnp.dot(a_ref[:], x2_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(b_ref[:], x_ref[:], preferred_element_type=jnp.float32)
+                + cw_ref[:])                                  # [sb*K, nt]
+        lp = logp.reshape(sb, K, FRAME_TILE)
+        m = jnp.max(lp, axis=1, keepdims=True)
+        lse = m[:, 0, :] + jnp.log(jnp.sum(jnp.exp(lp - m), axis=1))  # [sb, nt]
+        out_ref[:] += jnp.sum(lse * m_ref[:], axis=1, keepdims=True)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(s_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FRAME_TILE), lambda s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, d), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, d), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, 1), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sb, 1), lambda s, j: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * SK * d * n + 4 * SK * n,
+            bytes_accessed=(2 * d * n + n) * 4 * s_blocks + SK * (2 * d + 1) * 4,
+            transcendentals=2 * SK * n,
+        ),
+        interpret=interpret,
+    )(x2t, xt, maskf, A, B, cw)
+
+
+def bank_sum_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
+                    mask: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[S] summed per-frame log p(x_t | speaker s) over valid frames.
+
+    bank: weights [S, K], means/sigmas [S, K, d]; X: [n, d]. Speakers are
+    padded to a multiple of SPK_BLOCK and frames to FRAME_TILE internally.
+    """
+    S, K = bank.weights.shape
+    d = bank.means.shape[-1]
+    n = X.shape[0]
+
+    inv_var = 1.0 / (bank.sigmas * bank.sigmas)               # [S, K, d]
+    A = (-0.5 * inv_var).reshape(S * K, d)
+    B = (bank.means * inv_var).reshape(S * K, d)
+    c = (-0.5 * jnp.sum(bank.means ** 2 * inv_var, axis=-1)
+         - jnp.sum(gmm_mod.LOG_SQRT_2_PI + jnp.log(bank.sigmas), axis=-1)
+         + jnp.log(bank.weights)).reshape(S * K, 1)
+
+    sb = min(SPK_BLOCK, S)
+    S_pad = _round_up(S, sb)
+    if S_pad != S:
+        pad = S_pad * K - S * K
+        # harmless padded speakers: logp = -0.5*x2 sums, never read back
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-0.5)
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+        c = jnp.pad(c, ((0, pad), (0, 0)))
+
+    n_pad = _round_up(max(n, 1), FRAME_TILE)
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    maskf = jnp.pad(mask.astype(jnp.float32), (0, n_pad - n))[None, :]
+
+    xt = Xp.T
+    x2t = xt * xt
+    out = _run(x2t, xt, maskf, A.astype(jnp.float32), B.astype(jnp.float32),
+               c.astype(jnp.float32), K, interpret)
+    return out[:S, 0]
+
+
+def bank_avg_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
+                    mask: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Per-frame average score per speaker — fused equivalent of
+    models/gmm.bank_avg_loglik (the quantity GMMSet ranks by)."""
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return bank_sum_loglik(bank, X, mask, interpret=interpret) / n
