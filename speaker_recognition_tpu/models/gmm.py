@@ -241,6 +241,30 @@ def fit(X: jnp.ndarray, mask: jnp.ndarray, cfg: GmmConfig, key: jax.Array) -> tu
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_from_params(X: jnp.ndarray, mask: jnp.ndarray, params0: GmmParams,
+                    cfg: GmmConfig) -> tuple[GmmParams, jnp.ndarray]:
+    """EM from explicit initial parameters (used by the k-means|| init
+    path and by resumable training)."""
+    step = lambda p: m_step(sufficient_stats(p, X, mask), cfg)
+    return _em_loop(X, mask, params0, cfg, step)
+
+
+def fit_with_init(X: jnp.ndarray, mask: jnp.ndarray, cfg: GmmConfig,
+                  key: jax.Array) -> tuple[GmmParams, jnp.ndarray]:
+    """Full fit honoring cfg.init_with_kmeans (k-means|| seeding of the
+    means, gmm.cc:330-346; sampling rounds run host-side so this wrapper is
+    not itself jitted — the distance kernels and the EM loop are)."""
+    if not cfg.init_with_kmeans:
+        return fit(X, mask, cfg, key)
+    from . import kmeans as kmeans_mod
+    k1, k2 = jax.random.split(key)
+    C, _ = kmeans_mod.kmeansii(X, mask, cfg.n_mixtures, k1)
+    params0 = init_params(X, mask, cfg.n_mixtures, k2)._replace(
+        means=C.astype(X.dtype))
+    return fit_from_params(X, mask, params0, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_from_ubm(X: jnp.ndarray, mask: jnp.ndarray, ubm: GmmParams,
                  cfg: GmmConfig) -> tuple[GmmParams, jnp.ndarray]:
     """MAP adaptation from a UBM (GMMUBMTrainerBaseline, gmmubm.cc:25-81).

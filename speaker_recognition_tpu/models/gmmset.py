@@ -91,6 +91,13 @@ class GMMSet:
             ubm = jax.tree.map(lambda a: jnp.asarray(a, dt), self.ubm)
             fit = jax.vmap(lambda x, m: gmm.fit_from_ubm(x, m, ubm, cfg))
             new_bank, _ = fit(Xs, masks)
+        elif cfg.init_with_kmeans:
+            # k-means|| sampling is host-orchestrated, so speakers train
+            # serially on this path (init is off by default, pygmm.py:44)
+            keys = jax.random.split(jax.random.PRNGKey(seed), S)
+            fitted = [gmm.fit_with_init(Xs[i], masks[i], cfg, keys[i])[0]
+                      for i in range(S)]
+            new_bank = gmm.stack_params(fitted)
         else:
             keys = jax.random.split(jax.random.PRNGKey(seed), S)
             fit = jax.vmap(lambda x, m, k: gmm.fit(x, m, cfg, k))

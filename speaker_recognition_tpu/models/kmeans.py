@@ -49,14 +49,20 @@ def pairwise_dist2(X: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("n_iter",))
 def lloyd(X: jnp.ndarray, mask: jnp.ndarray, centroids0: jnp.ndarray,
           n_iter: int = 200, tol: float = 1e-6,
-          terminate_cost_factor: float = 1.5):
+          terminate_cost_factor: float = 1.5,
+          weights: jnp.ndarray | None = None):
     """Lloyd's iteration with the reference's stopping rules.
 
     Returns (best_centroids, best_cost). mask excludes padded frames from
-    both assignment cost and centroid updates.
+    both assignment cost and centroid updates. With `weights`, runs the
+    weighted variant (Lloyds_iteration_weighted / calc_belonging_weighted,
+    kmeans.cc:108-146): point weights scale both the cost and the centroid
+    accumulation — the k-means|| seed-recluster step depends on this.
     """
     dt = X.dtype
     m = mask.astype(dt)
+    if weights is not None:
+        m = m * weights.astype(dt)
     big = jnp.finfo(dt).max
 
     def assign(C):
@@ -125,12 +131,14 @@ def _pp_seed(X: jnp.ndarray, sample_w: jnp.ndarray, K: int, key: jax.Array) -> j
 
 def kmeanspp(X: jnp.ndarray, mask: jnp.ndarray, K: int, key: jax.Array,
              weights: jnp.ndarray | None = None):
-    """k-means++ seeding + Lloyd's (KMeansppSolver::cluster / _weighted)."""
+    """k-means++ seeding + Lloyd's (KMeansppSolver::cluster / _weighted;
+    the weighted variant also weights the Lloyd refinement,
+    kmeans++.cc:211-214)."""
     sample_w = mask.astype(X.dtype)
     if weights is not None:
         sample_w = sample_w * weights
     C0 = _pp_seed(X, sample_w, K, key)
-    return lloyd(X, mask, C0)
+    return lloyd(X, mask, C0, weights=weights)
 
 
 def kmeansii(X, mask, K: int, key: jax.Array,

@@ -1,0 +1,170 @@
+"""Tools layer: UBM workflow, gmm CLI (reference-format interchange),
+corpus prep, svm IO, NeuralNet, conversation mode."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.io.wavfile as wavfile
+
+from speaker_recognition_tpu.config import GmmConfig
+from speaker_recognition_tpu.models import gmm
+from speaker_recognition_tpu.tools import corpus, gmm_cli, ubm
+from speaker_recognition_tpu.utils import datamanip, serialization
+
+
+def blobs(n=400, d=4, K=2, seed=0):
+    rng = np.random.RandomState(seed)
+    mu = rng.randn(K, d) * 3
+    comps = rng.randint(0, K, n)
+    return mu[comps] + rng.randn(n, d) * 0.5
+
+
+class TestUbmTools:
+    def test_train_and_adapt(self):
+        feats = [blobs(seed=i) for i in range(3)]
+        u = ubm.train_ubm(feats, n_mixtures=4, n_iterations=30)
+        assert u.means.shape == (4, 4)
+        labels, bank = ubm.adapt_speakers(
+            u, {"a": blobs(seed=10), "b": blobs(seed=11)},
+            GmmConfig(n_mixtures=4, n_iterations=10))
+        assert labels == ["a", "b"]
+        assert bank.means.shape == (2, 4, 4)
+        # weights pinned to UBM under MAP
+        np.testing.assert_allclose(bank.weights[0], u.weights, rtol=1e-6)
+
+
+class TestGmmCli:
+    def test_train_then_score_roundtrip(self, tmp_path):
+        X = blobs(n=500, seed=3)
+        data = tmp_path / "data.txt"
+        np.savetxt(data, X)
+        model = str(tmp_path / "gmm.model")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            gmm_cli.main(["train", "-k", "4", "-i", str(data), "-m", model,
+                          "-r", "30"])
+        assert "trained K=4" in buf.getvalue()
+        # model is reference text format
+        with open(model) as f:
+            params = serialization.load_reference_gmm(f)
+        assert params.means.shape == (4, 4)
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            gmm_cli.main(["score", "-k", "4", "-i", str(data), "-m", model])
+        score = float(buf.getvalue().strip())
+        # should be close to the model's own avg ll
+        ref = float(gmm.avg_loglik(
+            jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params),
+            jnp.asarray(X, jnp.float32), jnp.ones(len(X), dtype=bool)))
+        assert abs(score - ref) < 1e-4
+
+    def test_kmeans_init_flag(self, tmp_path):
+        X = blobs(n=300, seed=4)
+        data = tmp_path / "d.txt"
+        np.savetxt(data, X)
+        model = str(tmp_path / "m.model")
+        with redirect_stdout(io.StringIO()):
+            gmm_cli.main(["train", "-k", "2", "-i", str(data), "-m", model,
+                          "-r", "20", "-f", "1"])
+        with open(model) as f:
+            params = serialization.load_reference_gmm(f)
+        assert np.isfinite(params.means).all()
+
+
+class TestCorpusTools:
+    def test_split_wav(self, tmp_path):
+        fs = 8000
+        sig = (np.random.RandomState(0).randn(fs * 50) * 1000).astype(np.int16)
+        src = str(tmp_path / "spk.wav")
+        wavfile.write(src, fs, sig)
+        out = str(tmp_path / "out")
+        corpus.split_wav(src, out, train_time=10.0, test_time=2.0, nr_test=5)
+        fs2, train = wavfile.read(os.path.join(out, "train.wav"))
+        assert len(train) == fs * 10
+        for i in range(5):
+            fs2, t = wavfile.read(os.path.join(out, f"test-{i}.wav"))
+            assert len(t) == fs * 2
+
+    def test_remove_silence_corpus(self, tmp_path):
+        fs = 8000
+        sig = np.zeros(fs * 2, np.int16)
+        sig[2000:6000] = 5000
+        src = tmp_path / "in"
+        src.mkdir()
+        wavfile.write(str(src / "x.wav"), fs, sig)
+        out = corpus.remove_silence_corpus(str(src / "*.wav"),
+                                           str(tmp_path / "out"))
+        assert len(out) == 1
+        fs2, cleaned = wavfile.read(out[0])
+        assert 0 < len(cleaned) < len(sig)
+
+
+class TestSvmIo:
+    def test_roundtrip(self, tmp_path):
+        X = np.array([[1.0, 0.0, 2.5], [0.0, 3.0, 0.0]])
+        y = np.array([1, 0])
+        p = str(tmp_path / "d.svm")
+        datamanip.write_svm_data(p, X, y)
+        X2, y2 = datamanip.read_svm_data(p)
+        np.testing.assert_allclose(X2, X)
+        np.testing.assert_array_equal(y2, y)
+
+    def test_fixed_dim(self, tmp_path):
+        p = str(tmp_path / "d.svm")
+        with open(p, "w") as f:
+            f.write("1 1:0.5\n0 2:1.5\n")
+        X, y = datamanip.read_svm_data(p, dim=4)
+        assert X.shape == (2, 4)
+
+
+class TestNeuralNet:
+    def test_learns_xor_ish(self):
+        from speaker_recognition_tpu.models.neural_net import NeuralNet
+        rng = np.random.RandomState(0)
+        X = rng.rand(400, 2)
+        y = ((X[:, 0] > 0.5) ^ (X[:, 1] > 0.5)).astype(int)
+        nn = NeuralNet(n_iter=500, learning_rate=2.0, batch_size=32)
+        nn.add_layer(8)
+        nn.fit(X, y)
+        acc = (nn.predict(X) == y).mean()
+        assert acc > 0.9, acc
+
+    def test_dbn_pretraining_runs(self):
+        from speaker_recognition_tpu.models.neural_net import NeuralNet
+        rng = np.random.RandomState(1)
+        X = (rng.rand(200, 6) > 0.5).astype(np.float32)
+        y = (X.sum(axis=1) > 3).astype(int)
+        nn = NeuralNet(n_iter=50, learning_rate=0.5)
+        nn.add_layer(5)
+        nn.fit_dbn(X, y)
+        assert nn.predict(X).shape == (200,)
+
+
+class TestConversation:
+    def test_streaming_with_smoothing(self):
+        from speaker_recognition_tpu.api.conversation import ConversationSession
+
+        class FakeModel:
+            def __init__(self):
+                self.labels = iter(["alice"] * 5 + ["bob"] * 5)
+
+            def filter(self, fs, sig):
+                return sig
+
+            def predict(self, fs, sig):
+                return next(self.labels, "bob")
+
+        sess = ConversationSession(FakeModel(), fs=8000)
+        events = sess.feed(np.zeros(8000 * 4))
+        # 10 ticks: alice shown, then the a->b flip suppressed one tick
+        labels = [l for _, l in sess.timeline]
+        assert labels[0] == "alice"
+        assert "bob" in labels
+        # one-step smoothing: the transition tick still shows alice
+        assert sess.result_list[:5] == ["alice"] * 5
