@@ -118,7 +118,17 @@ class ModelInterface:
             self.config.features, dtype=self.config.dtype)
         dt = jnp.dtype(self.config.dtype)
         bank = jax.tree.map(lambda a: jnp.asarray(a, dt), self.gmmset.bank)
-        scores = _batched_bank_scores(bank, feats.astype(dt), mask)
+        S, K = bank.weights.shape
+        from ..ops import pallas_gmm
+        if (dt == jnp.float32 and S * K >= pallas_gmm._PALLAS_MIN_SK
+                and jax.default_backend() == "tpu"):
+            # large bank: fused kernel per utterance (the XLA path would
+            # materialize [B, T, S*K] in HBM)
+            scores = jax.lax.map(
+                lambda xm: pallas_gmm.bank_avg_loglik(bank, xm[0], xm[1]),
+                (feats.astype(dt), mask))
+        else:
+            scores = _batched_bank_scores(bank, feats.astype(dt), mask)
         idx = np.asarray(jnp.argmax(scores, axis=-1))
         return [self.gmmset.y[int(i)] for i in idx]
 

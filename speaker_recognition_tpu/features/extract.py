@@ -102,6 +102,13 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
     interpret = pallas_mode == "interpret" or (
         use_pallas and jax.default_backend() != "tpu")
 
+    # LPC autocorrelation comes from the same power spectrum via the
+    # Wiener-Khinchin projection (one tiny matmul) instead of order+1
+    # passes over the raw frames.
+    acorr_np = (levinson.autocorr_operator(flen, mf.fft_size, lp.n_lpc)
+                if cfg.use_lpc else None)
+    acorr_t = jnp.asarray(acorr_np, dt) if cfg.use_lpc else None
+
     @jax.jit
     def fn(signals: jnp.ndarray, lengths: jnp.ndarray):
         signals = signals.astype(dt)
@@ -109,21 +116,26 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         mask = frame_validity_mask(lengths, T, flen, fshift)    # [B, T]
         wp = window_preemph(frames, flen, mf.pre_emph)
 
+        r = None
         if use_pallas:
             from ..ops import pallas_frontend
-            ceps = pallas_frontend.mfcc_from_frames(
-                wp, C_np, S_np, mel_np, dct_np, floor, interpret=interpret)
+            out = pallas_frontend.mfcc_from_frames(
+                wp, C_np, S_np, mel_np, dct_np, floor, acorr_t=acorr_np,
+                interpret=interpret)
+            ceps, r = out if cfg.use_lpc else (out, None)
         else:
             re = wp @ C
             im = wp @ S
             power = jnp.maximum(re * re + im * im, floor)
             logmel = jnp.log(power @ mel_t)
             ceps = logmel @ dct_t                               # [B, T, nceps]
+            if cfg.use_lpc:
+                r = power @ acorr_t                             # [B, T, p+1]
         if mf.cmvn:
             ceps = masked_cmvn(ceps, mask)
 
         if cfg.use_lpc:
-            lpc = levinson.lpc_from_frames(wp, lp.n_lpc)        # [B, T, n_lpc]
+            lpc = levinson.lpc_from_autocorr(r)                 # [B, T, n_lpc]
             feat = jnp.concatenate([ceps, lpc], axis=-1)
         else:
             feat = ceps

@@ -119,7 +119,8 @@ class GMMSet:
         bank = jax.tree.map(lambda a: jnp.asarray(a, dt), self.bank)
         X = jnp.asarray(x, dt)
         mask = jnp.ones(X.shape[0], dtype=bool)
-        return np.asarray(gmm.bank_avg_loglik(bank, X, mask))
+        from ..ops.pallas_gmm import bank_avg_loglik_auto
+        return np.asarray(bank_avg_loglik_auto(bank, X, mask))
 
     def predict_one_scores(self, x):
         return list(self._scores(x))

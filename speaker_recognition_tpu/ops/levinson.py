@@ -31,6 +31,28 @@ def autocorrelation(frames: jnp.ndarray, order: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1) / n
 
 
+def autocorr_operator(frame_len: int, fft_size: int, order: int):
+    """Wiener-Khinchin projection: power spectrum -> autocorrelation.
+
+    For a frame zero-padded to fft_size >= 2*frame_len, the linear (biased)
+    autocorrelation is exactly the inverse DFT of the one-sided power
+    spectrum: r_j = (1/(fft_size*n)) [p_0 + p_{N/2} cos(pi j)
+    + 2 sum_k p_k cos(2 pi j k / N)]. Returns R of shape
+    [fft_size//2+1, order+1] so r = power @ R — one tiny matmul that reuses
+    the power spectrum the MFCC path already computes, replacing order+1
+    separate passes over the raw frames.
+    """
+    import numpy as np
+    nb = fft_size // 2 + 1
+    k = np.arange(nb, dtype=np.float64)[:, None]
+    j = np.arange(order + 1, dtype=np.float64)[None, :]
+    R = 2.0 * np.cos(2.0 * np.pi * k * j / fft_size)
+    R[0] /= 2.0
+    if fft_size % 2 == 0:
+        R[-1] /= 2.0
+    return R / (fft_size * frame_len)
+
+
 def levinson(r: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Levinson-Durbin: solve the Toeplitz normal equations.
 
@@ -69,5 +91,11 @@ def lpc_from_frames(frames: jnp.ndarray, order: int) -> jnp.ndarray:
     (lpc(signal, n_lpc)[0][1:], then feature[isnan] = 0).
     """
     r = autocorrelation(frames, order)
+    return lpc_from_autocorr(r)
+
+
+def lpc_from_autocorr(r: jnp.ndarray) -> jnp.ndarray:
+    """LPC from precomputed autocorrelation [..., order+1] (the spectral
+    path: r = power @ autocorr_operator)."""
     a, _ = levinson(r)
     return jnp.nan_to_num(a[..., 1:], nan=0.0, posinf=0.0, neginf=0.0)

@@ -42,14 +42,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("floor", "interpret"))
-def _run(wp, C, S, mel_t, dct_t, floor: float, interpret: bool):
+def _run(wp, C, S, mel_t, dct_t, acorr_t, floor: float, interpret: bool):
     n, flen = wp.shape
     nbins = C.shape[1]
     nmel = mel_t.shape[1]
     nceps = dct_t.shape[1]
+    nac = acorr_t.shape[1]
     n_tiles = n // FRAME_TILE
 
-    def kernel(wp_ref, c_ref, s_ref, mel_ref, dct_ref, out_ref):
+    def kernel(wp_ref, c_ref, s_ref, mel_ref, dct_ref, ac_ref, out_ref,
+               r_ref):
         x = wp_ref[:]
         re = jnp.dot(x, c_ref[:], preferred_element_type=jnp.float32)
         im = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
@@ -60,41 +62,55 @@ def _run(wp, C, S, mel_t, dct_t, floor: float, interpret: bool):
         logmel = jnp.log(jnp.maximum(mel, floor))
         out_ref[:] = jnp.dot(logmel, dct_ref[:],
                              preferred_element_type=jnp.float32)
+        # Wiener-Khinchin: the LPC autocorrelation is one more tiny matmul
+        # against the spectrum already in VMEM (ops/levinson.py:
+        # autocorr_operator).
+        r_ref[:] = jnp.dot(power, ac_ref[:],
+                           preferred_element_type=jnp.float32)
 
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((FRAME_TILE, flen), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((flen, nbins), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((flen, nbins), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbins, nmel), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nmel, nceps), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            const((flen, nbins)),
+            const((flen, nbins)),
+            const((nbins, nmel)),
+            const((nmel, nceps)),
+            const((nbins, nac)),
         ],
-        out_specs=pl.BlockSpec((FRAME_TILE, nceps), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nceps), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((FRAME_TILE, nceps), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FRAME_TILE, nac), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nceps), jnp.float32),
+            jax.ShapeDtypeStruct((n, nac), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * flen * nbins * 2 + 2 * n * nbins * nmel
+            flops=2 * n * flen * nbins * 2 + 2 * n * nbins * (nmel + nac)
             + 2 * n * nmel * nceps,
-            bytes_accessed=n * (flen + nceps) * 4,
+            bytes_accessed=n * (flen + nceps + nac) * 4,
             transcendentals=n * nmel,
         ),
         interpret=interpret,
-    )(wp, C, S, mel_t, dct_t)
+    )(wp, C, S, mel_t, dct_t, acorr_t)
 
 
 def mfcc_from_frames(wp: jnp.ndarray, C: np.ndarray, S: np.ndarray,
                      mel_t: np.ndarray, dct_t: np.ndarray, floor: float,
-                     interpret: bool = False) -> jnp.ndarray:
+                     acorr_t: np.ndarray | None = None,
+                     interpret: bool = False):
     """[..., T, frame_len] windowed+pre-emphasized frames -> [..., T, nceps]
-    MFCC (pre-CMVN). Frame tiles are padded to FRAME_TILE; mel width is
-    padded to a multiple of 8 lanes with zero filters/DCT rows.
+    MFCC (pre-CMVN), plus (when acorr_t is given) the [..., T, order+1] LPC
+    autocorrelation from the same in-VMEM spectrum. Frame tiles are padded
+    to FRAME_TILE; mel width is padded to a multiple of 8 lanes with zero
+    filters/DCT rows.
     """
     orig_shape = wp.shape
     flen = orig_shape[-1]
@@ -110,8 +126,15 @@ def mfcc_from_frames(wp: jnp.ndarray, C: np.ndarray, S: np.ndarray,
     mel_p[:, :nmel] = mel_t
     dct_p = np.zeros((nmel_pad, dct_t.shape[1]), np.float32)
     dct_p[:nmel] = dct_t
+    want_acorr = acorr_t is not None
+    if not want_acorr:
+        acorr_t = np.zeros((C.shape[1], 8), np.float64)
 
-    out = _run(wp2, jnp.asarray(C, jnp.float32), jnp.asarray(S, jnp.float32),
-               jnp.asarray(mel_p), jnp.asarray(dct_p), float(floor), interpret)
-    out = out[:n]
-    return out.reshape(orig_shape[:-1] + (dct_t.shape[1],))
+    out, r = _run(wp2, jnp.asarray(C, jnp.float32), jnp.asarray(S, jnp.float32),
+                  jnp.asarray(mel_p), jnp.asarray(dct_p),
+                  jnp.asarray(acorr_t, jnp.float32), float(floor), interpret)
+    out = out[:n].reshape(orig_shape[:-1] + (dct_t.shape[1],))
+    if not want_acorr:
+        return out
+    r = r[:n].reshape(orig_shape[:-1] + (acorr_t.shape[1],))
+    return out, r

@@ -140,3 +140,31 @@ def bank_avg_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
     models/gmm.bank_avg_loglik (the quantity GMMSet ranks by)."""
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return bank_sum_loglik(bank, X, mask, interpret=interpret) / n
+
+
+# Measured on v5e (experiments/bench_bank.py): XLA wins below ~2k
+# (speaker, component) pairs where the logp tensor still fuses; the Pallas
+# kernel wins ~5x at S*K ~ 3200 where XLA materializes it in HBM.
+_PALLAS_MIN_SK = 2048
+
+
+def bank_avg_loglik_auto(bank: gmm_mod.GmmParams, X: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch between the XLA path and the fused kernel by bank size and
+    backend (same SRTPU_PALLAS env contract as the feature frontend)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("SRTPU_PALLAS", "auto")
+    S, K = bank.weights.shape
+    big_enough = S * K >= _PALLAS_MIN_SK
+    f32 = jnp.dtype(X.dtype) == jnp.float32
+    if mode in ("0", "off") or not f32 or not big_enough:
+        return gmm_mod.bank_avg_loglik(bank, X, mask)
+    if mode == "interpret":
+        return bank_avg_loglik(bank, X, mask, interpret=True)
+    if mode in ("1", "on") or jax.default_backend() == "tpu":
+        return bank_avg_loglik(bank, X, mask,
+                               interpret=jax.default_backend() != "tpu")
+    return gmm_mod.bank_avg_loglik(bank, X, mask)
