@@ -211,11 +211,25 @@ def _em_loop(X, mask, params0, cfg: GmmConfig, step_fn):
         _, _, i, done = carry
         return (i < cfg.n_iterations) & ~done
 
+    if cfg.threshold <= 0:
+        # early stopping disabled (benchmark mode): plain fori_loop, no
+        # monitoring passes at all
+        def plain_body(i, params):
+            return step_fn(params)
+        params = jax.lax.fori_loop(0, cfg.n_iterations, plain_body, params0)
+        return params, total_loglik(params, X, mask, cfg.min_prob_sum)
+
     def body(carry):
         params, last_ll, i, done = carry
         new_params = step_fn(params)
-        ll = total_loglik(new_params, X, mask, cfg.min_prob_sum)
         check = (i % 2) == 1
+        # the monitoring ll costs an extra E-pass, so (like the reference,
+        # gmm.cc:620-641) it only runs on the odd iterations that check
+        # convergence
+        ll = jax.lax.cond(
+            check,
+            lambda: total_loglik(new_params, X, mask, cfg.min_prob_sum),
+            lambda: last_ll)
         ll_diff = ll - last_ll
         converged = (jnp.abs(ll_diff) / jnp.abs(ll) < cfg.threshold) & (ll_diff < cfg.threshold)
         return (new_params,
