@@ -59,9 +59,10 @@ def _run(x2t, xt, maskf, A, B, cw, K: int, interpret: bool):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        # inputs may be bf16 (fast path); accumulation is always f32
         logp = (jnp.dot(a_ref[:], x2_ref[:], preferred_element_type=jnp.float32)
                 + jnp.dot(b_ref[:], x_ref[:], preferred_element_type=jnp.float32)
-                + cw_ref[:])                                  # [sb*K, nt]
+                + cw_ref[:].astype(jnp.float32))              # [sb*K, nt]
         lp = logp.reshape(sb, K, FRAME_TILE)
         m = jnp.max(lp, axis=1, keepdims=True)
         lse = m[:, 0, :] + jnp.log(jnp.sum(jnp.exp(lp - m), axis=1))  # [sb, nt]
@@ -97,11 +98,16 @@ def _run(x2t, xt, maskf, A, B, cw, K: int, interpret: bool):
 
 
 def bank_sum_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
-                    mask: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                    mask: jnp.ndarray, interpret: bool = False,
+                    precision: str = "f32") -> jnp.ndarray:
     """[S] summed per-frame log p(x_t | speaker s) over valid frames.
 
     bank: weights [S, K], means/sigmas [S, K, d]; X: [n, d]. Speakers are
     padded to a multiple of SPK_BLOCK and frames to FRAME_TILE internally.
+    precision="bf16" feeds the two matmuls bf16 operands (f32 accumulation)
+    — ~2-4x MXU throughput at ~1e-2 relative logp error, which averages out
+    over frames; identification argmax decisions are unaffected at typical
+    margins (validated in experiments/bench_bank.py --bf16).
     """
     S, K = bank.weights.shape
     d = bank.means.shape[-1]
@@ -129,7 +135,9 @@ def bank_sum_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
 
     xt = Xp.T
     x2t = xt * xt
-    out = _run(x2t, xt, maskf, A.astype(jnp.float32), B.astype(jnp.float32),
+    op_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    out = _run(x2t.astype(op_dt), xt.astype(op_dt), maskf,
+               A.astype(op_dt), B.astype(op_dt),
                c.astype(jnp.float32), K, interpret)
     return out[:S, 0]
 
