@@ -70,16 +70,22 @@ def main():
     args = (jnp.asarray(signals), jnp.asarray(lengths),
             bank.weights, bank.means, bank.sigmas)
 
+    def sync(out):
+        # Fetch a value: forces the device queue to drain. On the axon
+        # remote backend, block_until_ready returns early, so timings must
+        # end with an actual value fetch.
+        return int(np.asarray(out[0]))
+
     def measure(predict):
-        jax.block_until_ready(predict(*args))  # warmup/compile
+        sync(predict(*args))  # warmup/compile
         t0 = time.perf_counter()
-        jax.block_until_ready(predict(*args))
+        sync(predict(*args))
         once = time.perf_counter() - t0
-        iters = max(3, int(3.0 / max(once, 1e-4)))
+        iters = max(3, min(200, int(3.0 / max(once, 1e-4))))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = predict(*args)
-        jax.block_until_ready(out)
+        sync(out)
         elapsed = time.perf_counter() - t0
         return B * utt_seconds * iters / elapsed
 

@@ -41,13 +41,20 @@ def main():
     audio_seconds = n * 0.016  # 16 ms frame shift
 
     def measure(fn):
-        jax.block_until_ready(fn())
+        # timings end with a value fetch of the LAST output: the device
+        # executes enqueued programs in order, so one fetch drains the
+        # whole queue (block_until_ready returns early on the axon remote
+        # backend, and a per-rep fetch would pay the tunnel round-trip
+        # every iteration)
+        float(np.asarray(fn())[0])  # warmup/compile
         t0 = time.perf_counter()
-        reps = 0
-        while time.perf_counter() - t0 < 2.0:
+        float(np.asarray(fn())[0])
+        once = time.perf_counter() - t0
+        reps = max(3, min(500, int(2.0 / max(once, 1e-4))))
+        t0 = time.perf_counter()
+        for _ in range(reps):
             out = fn()
-            reps += 1
-        jax.block_until_ready(out)
+        float(np.asarray(out)[0])
         return (time.perf_counter() - t0) / reps
 
     for S in args.sizes:

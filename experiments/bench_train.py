@@ -47,11 +47,12 @@ def main():
                     threshold=0.0)
 
     params, ll = gmm.fit(Xj, mask, cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(params)  # compile + first run
+    float(ll)  # compile + first run; value fetch guarantees completion
+    # (block_until_ready alone does not reliably block on the axon relay)
 
     t0 = time.perf_counter()
     params, ll = gmm.fit(Xj, mask, cfg, jax.random.PRNGKey(1))
-    jax.block_until_ready(params)
+    float(ll)
     elapsed = time.perf_counter() - t0
 
     fci = args.frames * args.mixtures * args.iters
