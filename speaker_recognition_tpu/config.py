@@ -46,6 +46,10 @@ class LpcConfig:
     win_shift_ms: float = 16.0
     n_lpc: int = 15
     pre_emph: float = 0.95
+    # LPC cepstra (the reference's dormant lpc_to_cc recursion,
+    # src/feature/LPC.py:27-38): 0 = emit raw LPC coefficients (the
+    # reference's active path); >0 = emit n_lpcc-1 cepstra instead.
+    n_lpcc: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +63,11 @@ class FeatureConfig:
 
     @property
     def dim(self) -> int:
-        return self.mfcc.n_ceps + (self.lpc.n_lpc if self.use_lpc else 0)
+        if not self.use_lpc:
+            return self.mfcc.n_ceps
+        lpc_dim = (self.lpc.n_lpcc - 1 if self.lpc.n_lpcc > 0
+                   else self.lpc.n_lpc)
+        return self.mfcc.n_ceps + lpc_dim
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,7 +135,13 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
             ceps = masked_cmvn(ceps, mask)
 
         if cfg.use_lpc:
-            lpc = levinson.lpc_from_autocorr(r)                 # [B, T, n_lpc]
+            if lp.n_lpcc > 0:
+                a, _ = levinson.levinson(r)
+                lpc = jnp.nan_to_num(
+                    levinson.lpcc_from_lpc(a, lp.n_lpcc),
+                    nan=0.0, posinf=0.0, neginf=0.0)            # [B, T, n_lpcc-1]
+            else:
+                lpc = levinson.lpc_from_autocorr(r)             # [B, T, n_lpc]
             feat = jnp.concatenate([ceps, lpc], axis=-1)
         else:
             feat = ceps

@@ -99,3 +99,37 @@ def lpc_from_autocorr(r: jnp.ndarray) -> jnp.ndarray:
     path: r = power @ autocorr_operator)."""
     a, _ = levinson(r)
     return jnp.nan_to_num(a[..., 1:], nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def lpcc_from_lpc(a: jnp.ndarray, n_lpcc: int) -> jnp.ndarray:
+    """LPC cepstra via the reference's recursion, batched over frames.
+
+    Transcribes lpc_to_cc (src/feature/LPC.py:27-38; dormant there but part
+    of the documented feature surface): with a = [1, a_1..a_p] the full
+    Levinson output and c the cepstral sequence,
+
+        c[0] = a[0]
+        c[n] = (a[n] if n < p else 0)
+             + sum_{l=0}^{min(n,p)-1} a[l] c[n-l-1] (n-l)/(n+1)
+
+    returning -c[1:] (n_lpcc-1 values). Sequential in the cepstral index
+    (fori_loop), vectorized over the [..., :] frame batch.
+    """
+    p = a.shape[-1] - 1  # reference's self.n_lpc
+    c0 = jnp.zeros(a.shape[:-1] + (n_lpcc,), a.dtype)
+    c0 = c0.at[..., 0].set(a[..., 0])
+    idx = jnp.arange(n_lpcc)
+
+    def body(n, c):
+        # term = sum over l in [0, min(n, p)) of a[l]*c[n-l-1]*(n-l)/(n+1)
+        l = idx
+        inner = l < jnp.minimum(n, p)
+        a_l = jnp.where(inner, jnp.take(a, jnp.clip(l, 0, p), axis=-1), 0.0)
+        c_rev = jnp.take(c, jnp.clip(n - l - 1, 0, n_lpcc - 1), axis=-1)
+        w = (n - l) / (n + 1)
+        term = jnp.sum(jnp.where(inner, a_l * c_rev * w, 0.0), axis=-1)
+        direct = jnp.where(n < p, jnp.take(a, jnp.clip(n, 0, p), axis=-1), 0.0)
+        return c.at[..., n].set(direct + term)
+
+    c = jax.lax.fori_loop(1, n_lpcc, body, c0)
+    return -c[..., 1:]

@@ -144,3 +144,40 @@ class TestMixAndBatch:
         a = extract.mix_feature(8000, sig, dtype="float64")
         b = extract.mix_feature(8000, stereo, dtype="float64")
         np.testing.assert_allclose(a, b)
+
+
+class TestLpcc:
+    def oracle_lpc_to_cc(self, a_full, n_lpc, n_lpcc):
+        """Literal transcription of src/feature/LPC.py:27-38."""
+        lpcc = np.zeros(n_lpcc)
+        lpcc[0] = a_full[0]
+        for n in range(1, n_lpc):
+            lpcc[n] = a_full[n]
+            for l in range(0, n):
+                lpcc[n] += a_full[l] * lpcc[n - l - 1] * (n - l) / (n + 1)
+        for n in range(n_lpc, n_lpcc):
+            lpcc[n] = 0
+            for l in range(0, n_lpc):
+                lpcc[n] += a_full[l] * lpcc[n - l - 1] * (n - l) / (n + 1)
+        return -lpcc[1:]
+
+    def test_lpcc_matches_oracle(self):
+        from speaker_recognition_tpu.ops.levinson import lpcc_from_lpc
+        rng = np.random.RandomState(8)
+        p = 15
+        a = np.concatenate([[1.0], rng.randn(p) * 0.3])
+        ref = self.oracle_lpc_to_cc(a, p, 20)
+        out = np.asarray(lpcc_from_lpc(jnp.asarray(a), 20))
+        np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+        # batched agrees with single
+        batch = np.stack([a, a * 0.5])
+        outb = np.asarray(lpcc_from_lpc(jnp.asarray(batch), 20))
+        np.testing.assert_allclose(outb[0], ref, rtol=1e-8, atol=1e-10)
+
+    def test_extractor_lpcc_mode(self):
+        from speaker_recognition_tpu.config import FeatureConfig, LpcConfig
+        sig = synth_speech(8000 * 2, seed=9)
+        cfg = FeatureConfig(lpc=LpcConfig(n_lpcc=13))
+        feat = extract.mix_feature(8000, sig, cfg, dtype="float64")
+        assert feat.shape[1] == cfg.dim == 13 + 12
+        assert np.isfinite(feat).all()
