@@ -75,6 +75,32 @@ def loads_reference_gmm(text: str) -> GmmParams:
     return load_reference_gmm(io.StringIO(text))
 
 
+def dump_jfa_supervectors(params: GmmParams, directory: str) -> None:
+    """Write the UBM as the reference's JFA text supervectors
+    (ubm_means / ubm_variances / ubm_weights, the files src/test/UBM.py:33-47
+    produces and src/jfa/sc_*.m load): one whitespace row per mixture of the
+    mean / variance vectors, one weight per line."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    means = np.asarray(params.means, np.float64)
+    variances = np.asarray(params.sigmas, np.float64) ** 2
+    weights = np.asarray(params.weights, np.float64)
+    np.savetxt(os.path.join(directory, "ubm_means"), means)
+    np.savetxt(os.path.join(directory, "ubm_variances"), variances)
+    np.savetxt(os.path.join(directory, "ubm_weights"), weights)
+
+
+def load_jfa_supervectors(directory: str) -> GmmParams:
+    """Read the JFA text supervector triple back into GmmParams."""
+    import os
+
+    means = np.loadtxt(os.path.join(directory, "ubm_means"), ndmin=2)
+    variances = np.loadtxt(os.path.join(directory, "ubm_variances"), ndmin=2)
+    weights = np.loadtxt(os.path.join(directory, "ubm_weights"), ndmin=1)
+    return GmmParams(weights, means, np.sqrt(variances))
+
+
 # -- native session artifact ----------------------------------------------
 
 def _config_to_json(cfg) -> str:

@@ -85,3 +85,16 @@ class TestSessionArtifact:
         st, cfg, vad = serialization.load_session(path)
         assert vad is None
         assert "ubm_weights" not in st
+
+
+class TestJfaSupervectors:
+    def test_round_trip(self, tmp_path):
+        p = rand_gmm(K=4, d=3, seed=5)
+        serialization.dump_jfa_supervectors(p, str(tmp_path))
+        q = serialization.load_jfa_supervectors(str(tmp_path))
+        np.testing.assert_allclose(q.weights, np.asarray(p.weights))
+        np.testing.assert_allclose(q.means, np.asarray(p.means))
+        np.testing.assert_allclose(q.sigmas, np.asarray(p.sigmas), rtol=1e-12)
+        # three text files with the reference's names
+        for name in ("ubm_means", "ubm_variances", "ubm_weights"):
+            assert (tmp_path / name).exists()
