@@ -75,7 +75,7 @@ def load_corpus(corpus_glob: str) -> dict:
     like f_001_03.wav -> f_001) or the parent directory name."""
     samples: dict[str, Sample] = {}
     for path in sorted(glob.glob(corpus_glob)):
-        base = os.path.basename(path)
+        base = os.path.splitext(os.path.basename(path))[0]
         parent = os.path.basename(os.path.dirname(path))
         if "_" in base:
             label = "_".join(base.split("_")[:2])

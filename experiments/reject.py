@@ -23,7 +23,6 @@ from harness import Sample, load_corpus
 
 from speaker_recognition_tpu.config import GmmConfig
 from speaker_recognition_tpu.features import extract
-from speaker_recognition_tpu.models import gmm
 from speaker_recognition_tpu.models.gmmset import GMMSet
 from speaker_recognition_tpu.tools import ubm as ubm_tools
 from speaker_recognition_tpu.utils.metrics import eer
@@ -75,20 +74,14 @@ def main():
     correct_accept = reject_genuine = 0
     for l, t in tests:
         feat = extract.mix_feature(fs, t)
-        scores = gs._scores(feat)
-        import jax.numpy as jnp
-        import jax
-        dt = jnp.float32
-        ubm_j = jax.tree.map(lambda a: jnp.asarray(a, dt), ubm)
-        u = float(gmm.avg_loglik(ubm_j, jnp.asarray(feat, dt),
-                                 jnp.ones(len(feat), dtype=bool)))
-        llr = float(np.max(scores)) - u
+        scores, u = gs.llr_scores(feat)
+        best = int(np.argmax(scores))
+        llr = float(scores[best]) - u
         genuine.append(llr)
-        pred = gs.predict_one_with_rejection(feat)
-        if pred == l:
-            correct_accept += 1
-        elif pred is None:
+        if llr < gs.reject_threshold:
             reject_genuine += 1
+        elif gs.y[best] == l:
+            correct_accept += 1
 
     false_accept = 0
     n_imp = 0
@@ -97,14 +90,10 @@ def main():
         for _ in range(args.tests):
             _, t = work.get_fragment(args.test_duration, rng)
             feat = extract.mix_feature(fs, t)
-            scores = gs._scores(feat)
-            import jax.numpy as jnp
-            import jax
-            ubm_j = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), ubm)
-            u = float(gmm.avg_loglik(ubm_j, jnp.asarray(feat, jnp.float32),
-                                     jnp.ones(len(feat), dtype=bool)))
-            imposter_scores.append(float(np.max(scores)) - u)
-            if gs.predict_one_with_rejection(feat) is not None:
+            scores, u = gs.llr_scores(feat)
+            llr = float(np.max(scores)) - u
+            imposter_scores.append(llr)
+            if llr >= gs.reject_threshold:
                 false_accept += 1
             n_imp += 1
 

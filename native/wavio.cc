@@ -79,7 +79,8 @@ WavData read_wav(const char* path) {
     const uint8_t* hdr = buf.data() + pos;
     uint32_t chunk_len = rd_u32(hdr + 4);
     const uint8_t* body = hdr + 8;
-    if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16) {
+    size_t avail = buf.size() - pos - 8;  // bytes actually present
+    if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16 && avail >= 16) {
       audio_format = rd_u16(body);
       channels = rd_u16(body + 2);
       fs = rd_u32(body + 4);
@@ -104,7 +105,11 @@ WavData read_wav(const char* path) {
     return out;
   }
 
-  uint32_t bytes_per = bits / 8;
+  if (bits != 8 && bits != 16 && bits != 32) {
+    out.error = "unsupported bit depth " + std::to_string(bits);
+    return out;
+  }
+  uint32_t bytes_per = bits / 8;  // nonzero: bits validated above
   uint32_t frames = data_len / (bytes_per * channels);
   out.fs = static_cast<int32_t>(fs);
   out.channels = channels;

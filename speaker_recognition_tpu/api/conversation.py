@@ -29,24 +29,35 @@ class ConversationSession:
         self.fs = fs
         self.buffer = np.zeros(0, dtype=np.float64)
         self.now_pos = 0
+        self._trimmed = 0  # samples dropped from the front of buffer
         self.result_list: list = []       # raw per-tick labels
         self.timeline: list = []          # (time_seconds, shown_label) events
         self._last_shown = None
 
     def feed(self, samples) -> list:
         """Append audio; runs one classification tick per CONV_INTERVAL of
-        newly accumulated audio. Returns new (time, label) timeline events."""
+        newly accumulated audio. Returns new (time, label) timeline events.
+
+        Only the trailing CONV_DURATION window is ever read, so older audio
+        is dropped (self._trimmed tracks how much) — a session can stream
+        indefinitely without the buffer growing."""
         self.buffer = np.concatenate([self.buffer, np.asarray(samples, np.float64)])
         events = []
         interval_len = int(self.CONV_INTERVAL * self.fs)
-        while len(self.buffer) - self.now_pos >= interval_len:
+        segment_len = int(self.CONV_DURATION * self.fs)
+        while (len(self.buffer) + self._trimmed) - self.now_pos >= interval_len:
             self.now_pos += interval_len
             events.extend(self._tick())
+        keep_from = max(self.now_pos - segment_len - self._trimmed, 0)
+        if keep_from > 0:
+            self.buffer = self.buffer[keep_from:]
+            self._trimmed += keep_from
         return events
 
     def _tick(self) -> list:
         segment_len = int(self.CONV_DURATION * self.fs)
-        to_filter = self.buffer[max(self.now_pos - segment_len, 0): self.now_pos]
+        lo = max(self.now_pos - segment_len, self._trimmed) - self._trimmed
+        to_filter = self.buffer[lo: self.now_pos - self._trimmed]
         label = None
         try:
             signal = self.model.filter(self.fs, to_filter)

@@ -34,7 +34,10 @@ class ModelInterface:
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
         self.features: dict[str, list] = defaultdict(list)
-        self.vad = LtsdVad(order=self.config.vad.order)
+        vc = self.config.vad
+        self.vad = LtsdVad(order=vc.order, window_factor=vc.window_factor,
+                           lambda0_scale=vc.lambda0_scale,
+                           lambda1_scale=vc.lambda1_scale)
         self.gmmset = self._new_gmmset()
 
     def _new_gmmset(self) -> GMMSet:
@@ -57,7 +60,7 @@ class ModelInterface:
         """VAD-filter a signal; keep the original length-1/3 rule of
         interface.py:43-53 (empty result when VAD strips too much)."""
         ret, intervals = self.vad.filter(np.asarray(signal))
-        if len(ret) > len(signal) / 3:
+        if len(ret) > len(signal) * self.config.vad.keep_fraction:
             return ret
         return np.array([])
 
@@ -130,7 +133,11 @@ class ModelInterface:
         else:
             scores = _batched_bank_scores(bank, feats.astype(dt), mask)
         idx = np.asarray(jnp.argmax(scores, axis=-1))
-        return [self.gmmset.y[int(i)] for i in idx]
+        # an utterance with no valid frames (too short / VAD-stripped) ties
+        # every speaker at 0.0 — report None like the serial predict() path
+        valid = np.asarray(jnp.any(mask, axis=-1))
+        return [self.gmmset.y[int(i)] if ok else None
+                for i, ok in zip(idx, valid)]
 
     # -- persistence -------------------------------------------------------
 

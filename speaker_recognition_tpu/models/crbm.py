@@ -138,7 +138,13 @@ def fit(X: jnp.ndarray, mask: jnp.ndarray, nh: int, cfg: CrbmTrainConfig,
     """Train one CRBM on [n, nv] frames (valid frames form a contiguous
     prefix). Minibatches wrap around modulo n like the reference's
     X[i % n] walk; padded rows are never visited because indices are taken
-    modulo the true count."""
+    modulo the true count.
+
+    The scan's trip count is static (sized for the padded row count so a
+    vmapped bank shares one program), but each speaker only applies
+    n_epochs * ceil(n_valid / batch) updates — the reference's per-speaker
+    epoch semantics — with later steps masked out.
+    """
     n_total, nv = X.shape
     n = jnp.sum(mask.astype(jnp.int32))
     key, ik = jax.random.split(key)
@@ -146,20 +152,29 @@ def fit(X: jnp.ndarray, mask: jnp.ndarray, nh: int, cfg: CrbmTrainConfig,
     vel = _Velocity(jnp.zeros_like(params.vb), jnp.zeros_like(params.hb),
                     jnp.zeros_like(params.w), jnp.zeros_like(params.a))
 
-    batches_per_epoch = max(n_total // cfg.batch_size, 1)
+    batches_per_epoch = max(-(-n_total // cfg.batch_size), 1)
     n_steps = cfg.n_epochs * batches_per_epoch
+    # per-speaker budget from the true frame count (cf. CRBMTrainer::train's
+    # `for i in 0..n step batch`, crbm.cc:398-405)
+    budget = cfg.n_epochs * jnp.maximum(
+        -(-n // jnp.maximum(cfg.batch_size, 1)), 1)
     starts = (jnp.arange(n_steps) % batches_per_epoch) * cfg.batch_size
     keys = jax.random.split(key, n_steps)
 
     def step(carry, sk):
         params, vel = carry
-        start, k = sk
+        start, k, step_idx = sk
         idx = (start + jnp.arange(cfg.batch_size)) % jnp.maximum(n, 1)
         batch = X[idx]
-        params, vel = _cd_batch(params, vel, batch, k, cfg)
+        new_params, new_vel = _cd_batch(params, vel, batch, k, cfg)
+        live = step_idx < budget
+        params = jax.tree.map(lambda a, b: jnp.where(live, a, b),
+                              new_params, params)
+        vel = jax.tree.map(lambda a, b: jnp.where(live, a, b), new_vel, vel)
         return (params, vel), None
 
-    (params, _), _ = jax.lax.scan(step, (params, vel), (starts, keys))
+    (params, _), _ = jax.lax.scan(
+        step, (params, vel), (starts, keys, jnp.arange(n_steps)))
     return params
 
 

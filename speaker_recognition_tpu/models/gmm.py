@@ -222,7 +222,7 @@ def _em_loop(X, mask, params0, cfg: GmmConfig, step_fn):
     def body(carry):
         params, last_ll, i, done = carry
         new_params = step_fn(params)
-        check = (i % 2) == 1
+        check = (i % cfg.check_every) == cfg.check_every - 1
         # the monitoring ll costs an extra E-pass, so (like the reference,
         # gmm.cc:620-641) it only runs on the odd iterations that check
         # convergence

@@ -112,15 +112,45 @@ class GMMSet:
 
     # -- scoring -----------------------------------------------------------
 
+    def _device_bank(self):
+        """Device-resident cast of the bank, cached so serial predict loops
+        (conversation ticks, per-utterance harness calls) do not re-upload
+        the parameters every call."""
+        dt = jnp.dtype(self.dtype)
+        cached = getattr(self, "_bank_cache", None)
+        if cached is None or cached[0] is not self.bank:
+            dev = jax.tree.map(lambda a: jnp.asarray(a, dt), self.bank)
+            self._bank_cache = (self.bank, dev)
+        return self._bank_cache[1]
+
+    def _device_ubm(self):
+        dt = jnp.dtype(self.dtype)
+        cached = getattr(self, "_ubm_cache", None)
+        if cached is None or cached[0] is not self.ubm:
+            dev = jax.tree.map(lambda a: jnp.asarray(a, dt), self.ubm)
+            self._ubm_cache = (self.ubm, dev)
+        return self._ubm_cache[1]
+
     def _scores(self, x: np.ndarray) -> np.ndarray:
         """Per-speaker average log-likelihood of one utterance: [S]."""
         assert self.bank is not None, "train() must run before predict"
         dt = jnp.dtype(self.dtype)
-        bank = jax.tree.map(lambda a: jnp.asarray(a, dt), self.bank)
         X = jnp.asarray(x, dt)
         mask = jnp.ones(X.shape[0], dtype=bool)
         from ..ops.pallas_gmm import bank_avg_loglik_auto
-        return np.asarray(bank_avg_loglik_auto(bank, X, mask))
+        return np.asarray(bank_avg_loglik_auto(self._device_bank(), X, mask))
+
+    def llr_scores(self, x: np.ndarray):
+        """(per-speaker scores [S], ubm per-frame score) for one utterance —
+        the open-set decision quantities (gmmset.py:69-81), exposed so
+        callers need not recompute them."""
+        assert self.ubm is not None, "llr_scores requires a UBM"
+        scores = self._scores(x)
+        dt = jnp.dtype(self.dtype)
+        X = jnp.asarray(x, dt)
+        ubm_score = float(gmm.avg_loglik(self._device_ubm(), X,
+                                         jnp.ones(X.shape[0], dtype=bool)))
+        return scores, ubm_score
 
     def predict_one_scores(self, x):
         return list(self._scores(x))
@@ -139,12 +169,8 @@ class GMMSet:
         per-frame score beats the UBM's by less than reject_threshold."""
         assert self.ubm is not None, \
             "UBM must be given prior to conduct reject prediction."
-        scores = self._scores(x)
+        scores, ubm_score = self.llr_scores(x)
         best = int(np.argmax(scores))
-        dt = jnp.dtype(self.dtype)
-        ubm = jax.tree.map(lambda a: jnp.asarray(a, dt), self.ubm)
-        X = jnp.asarray(x, dt)
-        ubm_score = float(gmm.avg_loglik(ubm, X, jnp.ones(X.shape[0], dtype=bool)))
         if scores[best] - ubm_score < self.reject_threshold:
             return None
         return self.y[best]

@@ -67,7 +67,10 @@ def read_wav(path: str):
                            n, ctypes.byref(fs))
             return int(fs.value), buf
     import scipy.io.wavfile as wavfile
-    fs, signal = wavfile.read(path)
+    try:
+        fs, signal = wavfile.read(path)
+    except Exception as e:  # scipy can raise anything on corrupt headers
+        raise ValueError(f"cannot decode wav file {path!r}: {e}") from e
     if signal.ndim > 1:
         signal = signal[:, 0]
     return int(fs), signal.astype(np.float32)

@@ -145,12 +145,19 @@ def save_session(path: str, *, gmmset_state: dict, config: PipelineConfig,
                        ("lambda0", "lambda1", "window_size", "order", "fs")}
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    np.savez(path, **arrays)
+    # write to the exact requested path (np.savez appends '.npz' to bare
+    # string paths, which would break `-m model.out` drop-in expectations)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_session(path: str):
-    z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz",
-                allow_pickle=False)
+    import os
+
+    # accept both the exact path and a legacy '.npz'-suffixed artifact
+    if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
+        path = str(path) + ".npz"
+    z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["meta_json"]).decode("utf-8"))
     st = {"labels": meta["labels"],
           "reject_threshold": meta["reject_threshold"],

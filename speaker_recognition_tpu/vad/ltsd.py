@@ -143,10 +143,19 @@ def segment_intervals(scores: np.ndarray, lambda0: float, lambda1: float):
 
 
 class LtsdVad:
-    """Session-level detector mirroring src/filters/ltsd.py:LTSD_VAD."""
+    """Session-level detector mirroring src/filters/ltsd.py:LTSD_VAD.
 
-    def __init__(self, order: int = 5):
+    The calibration constants default to the reference's values
+    (ltsd.py:17,38-41) and are overridable (VadConfig wires through here).
+    """
+
+    def __init__(self, order: int = 5,
+                 window_factor: float = MAGIC_WINDOW_FACTOR,
+                 lambda0_scale: float = 1.1, lambda1_scale: float = 2.0):
         self.order = order
+        self.window_factor = window_factor
+        self.lambda0_scale = lambda0_scale
+        self.lambda1_scale = lambda1_scale
         self.fs = 0
         self.window_size = 0
         self.noise_amp = None
@@ -155,7 +164,7 @@ class LtsdVad:
 
     def _init_window(self, fs: int):
         self.fs = fs
-        self.window_size = int(MAGIC_WINDOW_FACTOR * fs)
+        self.window_size = int(self.window_factor * fs)
 
     @staticmethod
     def _mononize(signal: np.ndarray) -> np.ndarray:
@@ -171,8 +180,8 @@ class LtsdVad:
         self.noise_amp = noise_profile(noise_signal, self.window_size)
         scores = ltsd_scores(noise_signal, self.noise_amp, self.window_size, self.order)
         max_ltsd = float(scores.max()) if len(scores) else 0.0
-        self.lambda0 = max_ltsd * 1.1
-        self.lambda1 = self.lambda0 * 2.0
+        self.lambda0 = max_ltsd * self.lambda0_scale
+        self.lambda1 = self.lambda0 * self.lambda1_scale
 
     def filter(self, signal: np.ndarray):
         """-> (concatenated voiced samples, [(start_sample, end_sample)]).

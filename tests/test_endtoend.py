@@ -140,3 +140,12 @@ class TestCli:
             f, _, label = line.partition(" -> ")
             expect = os.path.basename(f).replace("t_", "").replace(".wav", "")
             assert label == expect, line
+
+
+class TestShortUtterances:
+    def test_predict_batch_reports_none_for_too_short(self, trained_model):
+        good = synth_utterance("alice", 3.0, seed=990)
+        tiny = np.zeros(100, np.int16)  # shorter than one frame
+        labels = trained_model.predict_batch(FS, [good, tiny])
+        assert labels[0] == "alice"
+        assert labels[1] is None

@@ -168,3 +168,20 @@ class TestConversation:
         assert "bob" in labels
         # one-step smoothing: the transition tick still shows alice
         assert sess.result_list[:5] == ["alice"] * 5
+
+    def test_long_stream_buffer_bounded(self):
+        from speaker_recognition_tpu.api.conversation import ConversationSession
+
+        class FakeModel:
+            def filter(self, fs, sig):
+                return sig
+
+            def predict(self, fs, sig):
+                return "alice"
+
+        sess = ConversationSession(FakeModel(), fs=8000)
+        for _ in range(100):
+            sess.feed(np.zeros(8000))  # 100 s of audio
+        # buffer keeps only ~ the trailing analysis window, not the history
+        assert len(sess.buffer) <= int(8000 * 2.5)
+        assert len(sess.result_list) == 250  # 100 s / 0.4 s ticks
