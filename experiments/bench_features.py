@@ -38,16 +38,18 @@ def main():
     }
 
     def measure(fn):
-        out = fn(signals, lengths)
-        float(np.asarray(out[0])[0, 0, 0])  # compile+sync
+        # reduce to a scalar INSIDE the program: fetching any full array
+        # would be tunnel-bandwidth-bound, not compute-bound
+        red = jax.jit(lambda s, l: jnp.sum(fn(s, l)[0]))
+        float(np.asarray(red(signals, lengths)))  # compile+sync
         t0 = time.perf_counter()
-        float(np.asarray(fn(signals, lengths)[0])[0, 0, 0])
+        float(np.asarray(red(signals, lengths)))
         once = time.perf_counter() - t0
         reps = max(3, min(300, int(3.0 / max(once, 1e-4))))
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(signals, lengths)
-        float(np.asarray(out[0])[0, 0, 0])
+            out = red(signals, lengths)
+        float(np.asarray(out))
         return B * sec * reps / (time.perf_counter() - t0)
 
     for name, (cfg, mode) in variants.items():
