@@ -178,6 +178,22 @@ class GMMSet:
     def predict_with_reject(self, X):
         return [self.predict_one_with_rejection(x) for x in X]
 
+    def load_gmm(self, label: str, fname: str):
+        """Append a pre-trained GMM from a reference-format text model file
+        as a new speaker (GMMSet.load_gmm, gmmset.py:83-88)."""
+        from ..utils import serialization
+
+        with open(fname) as f:
+            params = serialization.load_reference_gmm(f)
+        self.y.append(label)
+        new = gmm.GmmParams(params.weights[None], params.means[None],
+                            params.sigmas[None])
+        if self.bank is None:
+            self.bank = jax.tree.map(np.asarray, new)
+        else:
+            self.bank = gmm.GmmParams(*(np.concatenate([old, np.asarray(n)], axis=0)
+                                        for old, n in zip(self.bank, new)))
+
     # -- persistence helpers ----------------------------------------------
 
     def state(self) -> dict:

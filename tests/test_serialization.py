@@ -98,3 +98,26 @@ class TestJfaSupervectors:
         # three text files with the reference's names
         for name in ("ubm_means", "ubm_variances", "ubm_weights"):
             assert (tmp_path / name).exists()
+
+
+class TestLoadGmmIntoSet:
+    def test_load_reference_model_as_speaker(self, tmp_path):
+        from speaker_recognition_tpu.models.gmmset import GMMSet
+        import io as _io
+
+        p = rand_gmm(K=3, d=4, seed=7)
+        path = str(tmp_path / "spk.model")
+        with open(path, "w") as f:
+            serialization.dump_reference_gmm(p, f)
+
+        gs = GMMSet(gmm_order=3)
+        gs.load_gmm("imported", path)
+        assert gs.y == ["imported"]
+        assert gs.bank.means.shape == (1, 3, 4)
+        # scoring works through the imported model
+        rng = np.random.RandomState(8)
+        x = rng.randn(50, 4).astype(np.float32)
+        assert gs.predict_one(x) == "imported"
+        # appending a second one grows the bank
+        gs.load_gmm("second", path)
+        assert gs.bank.means.shape == (2, 3, 4)
