@@ -23,26 +23,67 @@ __all__ = ["train_ubm", "adapt_speakers"]
 
 def train_ubm(feature_arrays, n_mixtures: int = 32, n_iterations: int = 500,
               threshold: float = 1e-15, seed: int = 0, mesh=None,
-              dtype="float32") -> gmm.GmmParams:
+              dtype="float32", checkpoint_path: str | None = None,
+              checkpoint_every: int = 50) -> gmm.GmmParams:
     """Fit a UBM on pooled background features.
 
     feature_arrays: iterable of [T_i, d] arrays. Defaults mirror
     train-ubm.py:47 (GMM(32, nr_iteration=500, threshold=1e-15)).
     When a mesh is given, the frame axis shards across its devices.
+
+    checkpoint_path enables resumable long runs (the reference dumps an
+    intermediate model every second iteration for this, gmm.cc:622-630):
+    EM runs in checkpoint_every-iteration jitted segments, writing the
+    reference text format after each; an existing checkpoint is resumed
+    from. Segment-level convergence checking stops between segments when
+    the summed log-likelihood improvement falls under the threshold.
     """
     X = np.concatenate([np.asarray(f) for f in feature_arrays], axis=0)
-    cfg = GmmConfig(n_mixtures=n_mixtures, n_iterations=n_iterations,
-                    threshold=threshold)
     mask = np.ones(len(X), bool)
     key = jax.random.PRNGKey(seed)
-    if mesh is not None:
-        from ..parallel import mesh as pmesh
-        Xp, maskp = pmesh.pad_frames_for_mesh(
-            X.astype(dtype), mask, mesh.devices.size)
-        params, _ = pmesh.sharded_fit(mesh, cfg)(Xp, maskp, key)
+
+    if checkpoint_path is None:
+        cfg = GmmConfig(n_mixtures=n_mixtures, n_iterations=n_iterations,
+                        threshold=threshold)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            Xp, maskp = pmesh.pad_frames_for_mesh(
+                X.astype(dtype), mask, mesh.devices.size)
+            params, _ = pmesh.sharded_fit(mesh, cfg)(Xp, maskp, key)
+        else:
+            params, _ = gmm.fit(jnp.asarray(X, jnp.dtype(dtype)),
+                                jnp.asarray(mask), cfg, key)
+        return jax.tree.map(np.asarray, params)
+
+    # checkpointed path: host-stepped segments with periodic text dumps
+    import os
+
+    from ..utils import serialization
+
+    dt = jnp.dtype(dtype)
+    Xj = jnp.asarray(X, dt)
+    maskj = jnp.asarray(mask)
+    seg_cfg = GmmConfig(n_mixtures=n_mixtures, n_iterations=checkpoint_every,
+                        threshold=0.0)
+    if os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            params = jax.tree.map(lambda a: jnp.asarray(a, dt),
+                                  serialization.load_reference_gmm(f))
     else:
-        params, _ = gmm.fit(jnp.asarray(X, jnp.dtype(dtype)),
-                            jnp.asarray(mask), cfg, key)
+        params = gmm.init_params(Xj, maskj, n_mixtures, key)
+
+    last_ll = -np.finfo(np.float64).max
+    done_iters = 0
+    while done_iters < n_iterations:
+        params, ll = gmm.fit_from_params(Xj, maskj, params, seg_cfg)
+        ll = float(ll)
+        done_iters += checkpoint_every
+        with open(checkpoint_path, "w") as f:
+            serialization.dump_reference_gmm(jax.tree.map(np.asarray, params), f)
+        ll_diff = ll - last_ll
+        if abs(ll_diff) / max(abs(ll), 1e-300) < threshold and ll_diff < threshold:
+            break
+        last_ll = ll
     return jax.tree.map(np.asarray, params)
 
 

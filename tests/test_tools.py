@@ -185,3 +185,21 @@ class TestConversation:
         # buffer keeps only ~ the trailing analysis window, not the history
         assert len(sess.buffer) <= int(8000 * 2.5)
         assert len(sess.result_list) == 250  # 100 s / 0.4 s ticks
+
+
+class TestCheckpointedUbm:
+    def test_checkpoint_written_and_resumed(self, tmp_path):
+        ckpt = str(tmp_path / "ubm.ckpt")
+        feats = [blobs(seed=i) for i in range(2)]
+        u1 = ubm.train_ubm(feats, n_mixtures=3, n_iterations=20,
+                           threshold=0.0, checkpoint_path=ckpt,
+                           checkpoint_every=10)
+        assert os.path.exists(ckpt)
+        with open(ckpt) as f:
+            on_disk = serialization.load_reference_gmm(f)
+        np.testing.assert_allclose(on_disk.means, u1.means, rtol=1e-6)
+        # resume: starts from the checkpoint, not from scratch
+        u2 = ubm.train_ubm(feats, n_mixtures=3, n_iterations=10,
+                           threshold=0.0, checkpoint_path=ckpt,
+                           checkpoint_every=10)
+        assert np.isfinite(u2.means).all()
