@@ -3,6 +3,8 @@ text GMM format."""
 
 import io
 
+import pytest
+
 import numpy as np
 
 from speaker_recognition_tpu.config import PipelineConfig, GmmConfig
@@ -121,3 +123,37 @@ class TestLoadGmmIntoSet:
         # appending a second one grows the bank
         gs.load_gmm("second", path)
         assert gs.bank.means.shape == (2, 3, 4)
+
+
+class TestShippedReferenceModels:
+    """The reference repo ships real pretrained UBM artifacts
+    (src/gui/model/*.model, written by its C++ GMM::dump) — our reader must
+    load them and score with them."""
+
+    REF_MODELS = "/root/reference/src/gui/model"
+
+    @pytest.mark.parametrize("name,K", [
+        ("ubm.mixture-32.utt-300.model", 32),
+        ("ubm.mixture-64.utt-300.model", 64),
+        ("ubm.mixture-256.nperson-300.immature.model", 256),
+    ])
+    def test_loads_and_scores(self, name, K):
+        import os
+        path = os.path.join(self.REF_MODELS, name)
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not mounted")
+        with open(path) as f:
+            params = serialization.load_reference_gmm(f)
+        assert params.weights.shape == (K,)
+        assert params.means.shape[0] == K
+        np.testing.assert_allclose(params.weights.sum(), 1.0, rtol=1e-4)
+        assert (params.sigmas > 0).all()
+
+        import jax, jax.numpy as jnp
+        from speaker_recognition_tpu.models import gmm as gmm_mod
+        d = params.means.shape[1]
+        pj = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+        rng = np.random.RandomState(0)
+        X = jnp.asarray(rng.randn(64, d))
+        ll = gmm_mod.per_frame_loglik(pj, X)
+        assert np.isfinite(np.asarray(ll)).all()
