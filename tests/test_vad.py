@@ -1,10 +1,14 @@
-"""VAD tests: energy silence-removal parity oracle + LTSD behavior."""
+"""VAD tests: energy silence-removal parity oracle + LTSD behavior +
+spectral noise reduction."""
 
 import numpy as np
+import pytest
 
+from speaker_recognition_tpu.vad import VAD
 from speaker_recognition_tpu.vad.energy import remove_silence
 from speaker_recognition_tpu.vad.ltsd import (
     LtsdVad, ltsd_scores, noise_profile, segment_intervals)
+from speaker_recognition_tpu.vad.noisered import NoiseReduction
 
 
 def oracle_remove_silence(fs, signal, frame_duration=0.02, frame_shift=0.01,
@@ -119,3 +123,80 @@ class TestLtsd:
         vad.init_params_by_noise(fs, rng.randn(fs) * 10)
         ws = vad.window_size
         assert ws == int(0.04644 * fs)
+
+
+class TestNoiseReduction:
+    """On-device spectral gate replacing the sox noiseprof/noisered
+    shell-out (src/filters/noisered.py:21-38)."""
+
+    FS = 8000
+
+    def _tone_plus_noise(self, seed=5):
+        rng = np.random.RandomState(seed)
+        n = self.FS * 2
+        t = np.arange(n) / self.FS
+        tone = 4000 * np.sin(2 * np.pi * 1000 * t)
+        noise = 400 * rng.randn(n)
+        return tone, noise
+
+    def _band_power(self, sig, lo, hi):
+        spec = np.abs(np.fft.rfft(sig)) ** 2
+        freqs = np.fft.rfftfreq(len(sig), 1 / self.FS)
+        return spec[(freqs >= lo) & (freqs < hi)].sum()
+
+    def test_zero_amount_is_passthrough(self):
+        tone, noise = self._tone_plus_noise()
+        nr = NoiseReduction(amount=0.0)
+        nr.init_noise(self.FS, noise)
+        out = nr.filter(self.FS, tone + noise)
+        np.testing.assert_allclose(out, (tone + noise).astype(np.float32),
+                                   rtol=0, atol=2.0)
+
+    def test_full_subtraction_improves_snr(self):
+        tone, noise = self._tone_plus_noise()
+        rng = np.random.RandomState(6)
+        fresh_noise = 400 * rng.randn(len(tone))
+        nr = NoiseReduction(amount=1.0)
+        nr.init_noise(self.FS, noise)
+        out = nr.filter(self.FS, tone + fresh_noise)
+        assert len(out) == len(tone)
+        # noise-band (2.5-3.5 kHz, far from the tone) power drops hard
+        before = self._band_power(tone + fresh_noise, 2500, 3500)
+        after = self._band_power(out, 2500, 3500)
+        assert after < before * 0.05, (after, before)
+        # tone band survives
+        tone_before = self._band_power(tone + fresh_noise, 950, 1050)
+        tone_after = self._band_power(out, 950, 1050)
+        assert tone_after > tone_before * 0.6, (tone_after, tone_before)
+
+    def test_default_amount_mirrors_reference_thres(self):
+        assert NoiseReduction().amount == pytest.approx(0.21)
+
+    def test_requires_init(self):
+        with pytest.raises(RuntimeError):
+            NoiseReduction().filter(self.FS, np.zeros(1000))
+
+
+class TestComposedVad:
+    """VAD.py:13-34 composition: NR profile + LTSD, NR path opt-in."""
+
+    def test_uninitialized_raises(self):
+        with pytest.raises(RuntimeError):
+            VAD().filter(8000, np.zeros(8000))
+
+    def test_filter_with_and_without_nr(self):
+        fs = 8000
+        rng = np.random.RandomState(7)
+        noise = rng.randn(fs) * 20
+        from tests.test_vad import speech_with_silence
+        sig, voiced = speech_with_silence(fs)
+        sig = sig.astype(np.float64) + rng.randn(len(sig)) * 20
+        for use_nr in (False, True):
+            vad = VAD(use_noise_reduction=use_nr)
+            vad.init_noise(fs, noise)
+            filtered, intervals = vad.filter(fs, sig)
+            assert len(intervals) >= 1
+            covered = np.zeros(len(sig), dtype=bool)
+            for s, e in intervals:
+                covered[s:e] = True
+            assert (covered & voiced).sum() / voiced.sum() > 0.6
