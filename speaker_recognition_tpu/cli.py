@@ -74,6 +74,9 @@ def task_enroll(input_dirs: str, output_model: str):
             m.enroll(label, fs, signal)
         training_stats.append((label, total_len))
     print("--------------------------------------------")
+    if not training_stats:
+        print("No wav files found in any input directory!")
+        sys.exit(1)
     for label, total_len in training_stats:
         print(f"Total length of training data for '{label}' is {total_len}")
     print("For best accuracy, please make sure all labels have similar "
