@@ -25,6 +25,8 @@ __all__ = [
     "dct_matrix",
     "dft_power_projection",
     "windowed_preemph_operator",
+    "halfspec_to_fullspec",
+    "packed_frontend_operators",
 ]
 
 
@@ -94,6 +96,86 @@ def dft_power_projection(frame_len: int, fft_size: int) -> tuple[np.ndarray, np.
     k = np.arange(fft_size // 2 + 1, dtype=np.float64)[None, :]
     ang = 2 * np.pi * n * k / fft_size
     return np.cos(ang), -np.sin(ang)
+
+
+def halfspec_to_fullspec(frame_len: int, fft_small: int, fft_big: int) -> np.ndarray:
+    """Exact linear map from a small one-sided power spectrum to a big one.
+
+    The reference zero-pads frame_len-sample frames to a 2048-point FFT
+    (src/feature/MFCC.py:66,116) — an 8x-oversampled spectrum. Because the
+    frame's autocorrelation has support 2*frame_len-1 <= fft_small, the
+    fft_small-point power spectrum already determines the autocorrelation
+    exactly (Wiener-Khinchin, no circular aliasing), and hence every bin of
+    the fft_big-point power spectrum:
+
+        r[l]      = (1/Ns) (p[0] + (-1)^l p[Ns/2] + 2 sum_k p[k] cos(2pi kl/Ns))
+        P_big[k]  = r[0] + 2 sum_{l>=1} r[l] cos(2pi kl/Nb)
+
+    Returns H of shape [fft_small//2+1, fft_big//2+1] with P_big = p_small @ H
+    (float64, exact to rounding). Requires fft_small >= 2*frame_len.
+    """
+    assert fft_small >= 2 * frame_len and fft_small % 2 == 0
+    nbs = fft_small // 2 + 1
+    k = np.arange(nbs, dtype=np.float64)[:, None]
+    l = np.arange(frame_len, dtype=np.float64)[None, :]
+    P2R = 2.0 * np.cos(2.0 * np.pi * k * l / fft_small) / fft_small
+    P2R[0] /= 2.0
+    P2R[-1] /= 2.0
+    kb = np.arange(fft_big // 2 + 1, dtype=np.float64)[None, :]
+    lc = np.arange(frame_len, dtype=np.float64)[:, None]
+    R2P = 2.0 * np.cos(2.0 * np.pi * lc * kb / fft_big)
+    R2P[0] /= 2.0
+    return P2R @ R2P
+
+
+def packed_frontend_operators(frame_len: int, fft_size: int, pre_emph: float,
+                              mel_t: np.ndarray,
+                              lpc_order: int | None = None):
+    """Operators for the packed (half-spectrum) frontend.
+
+    The full pipeline per frame is
+        window+preemph (B) -> |DFT_2048|^2 -> mel / autocorr projections
+    where everything after the squaring is LINEAR in the power spectrum. So:
+      * compute only the 2*frame_len-point spectrum (exactness per
+        halfspec_to_fullspec) — 4x fewer DFT FLOPs at fft_size=2048;
+      * fold B into the DFT operators (no separate windowing pass);
+      * pack [re bins 0..F-1 | im bins 1..F-1 | re Nyquist] into ONE
+        [frame_len, 2*frame_len] operator D — 2*frame_len = 512 is
+        MXU-lane-aligned, and since every power bin is a sum of squared
+        columns of X = frames @ D, any post-power projection P becomes
+        Y @ (E P) with Y = X*X and E the column->bin expansion.
+
+    Returns (D [frame_len, 2*frame_len], W_mel [2*frame_len, n_mel],
+    A_acorr [2*frame_len, order+1] or None). All float64.
+    Combined with the mel/DCT matmuls this is ~7x fewer FLOPs than the
+    direct 2048-bin path with bit-comparable (f64-exact) results.
+    """
+    F = frame_len
+    fft2 = 2 * F
+    C, S = dft_power_projection(F, fft2)          # [F, F+1] each
+    B = windowed_preemph_operator(F, pre_emph)    # y = x @ B.T
+    Cw = B.T @ C
+    Sw = B.T @ S
+    # packed columns: [re 0..F-1 | im 1..F-1 | re F(Nyquist)] = 2F columns
+    D = np.concatenate([Cw[:, :F], Sw[:, 1:F], Cw[:, F:F + 1]], axis=1)
+    # expansion E: power[bin] = sum of squared packed columns
+    E = np.zeros((2 * F, F + 1), np.float64)
+    E[np.arange(F), np.arange(F)] = 1.0                    # re^2, bins 0..F-1
+    E[F + np.arange(F - 1), 1 + np.arange(F - 1)] = 1.0    # im^2, bins 1..F-1
+    E[2 * F - 1, F] = 1.0                                  # Nyquist
+    H = halfspec_to_fullspec(F, fft2, fft_size)            # [F+1, big bins]
+    W_mel = E @ H @ mel_t                                  # [2F, n_mel]
+    A = None
+    if lpc_order is not None:
+        # biased autocorrelation r[l]/F directly from the small spectrum
+        # (identical to power2048 @ levinson.autocorr_operator, fewer hops)
+        k = np.arange(F + 1, dtype=np.float64)[:, None]
+        j = np.arange(lpc_order + 1, dtype=np.float64)[None, :]
+        P2R = 2.0 * np.cos(2.0 * np.pi * k * j / fft2) / fft2
+        P2R[0] /= 2.0
+        P2R[-1] /= 2.0
+        A = E @ (P2R / F)
+    return D, W_mel, A
 
 
 def windowed_preemph_operator(frame_len: int, pre_emph: float) -> np.ndarray:

@@ -131,6 +131,24 @@ class TestMixAndBatch:
                                        rtol=1e-7, atol=1e-8)
             np.testing.assert_array_equal(np.asarray(feats[i, T:]), 0.0)
 
+    def test_packed_matches_full_frontend(self):
+        """The packed half-spectrum frontend (512-pt DFT + exact linear maps,
+        ops/frontend.packed_frontend_operators) must reproduce the full
+        2048-bin path to rounding, in f64 and f32."""
+        cfg = FeatureConfig()
+        sig = synth_speech(8000 * 2, seed=21)
+        pad = np.zeros((1, 16384), np.float32)
+        pad[0, : len(sig)] = sig
+        lens = jnp.asarray([len(sig)])
+        for dtype, rtol, atol in (("float64", 1e-9, 1e-10),
+                                  ("float32", 2e-3, 2e-3)):
+            full = extract._feature_fn(8000, cfg, 16384, dtype, "off", "f32",
+                                       "full")(jnp.asarray(pad), lens)[0]
+            packed = extract._feature_fn(8000, cfg, 16384, dtype, "off", "f32",
+                                         "packed")(jnp.asarray(pad), lens)[0]
+            np.testing.assert_allclose(np.asarray(packed), np.asarray(full),
+                                       rtol=rtol, atol=atol)
+
     def test_diff_feature(self):
         f = np.arange(20.0).reshape(10, 2)
         d1 = extract.diff_feature(f, nd=1)
