@@ -165,7 +165,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 from ..ops import pallas_frontend
                 out = pallas_frontend.packed_from_frames(
                     frames, D_np, W_np, dct_np, floor, A=A_np,
-                    interpret=interpret)
+                    interpret=interpret, mm_bf16=mm_dt is not None)
                 ceps, r = out if cfg.use_lpc else (out, None)
             else:
                 if mm_dt is not None:

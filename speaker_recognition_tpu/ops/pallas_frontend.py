@@ -108,7 +108,11 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
     window/preemph/DFT folded in, ops/frontend.packed_frontend_operators),
     Y = X*X, then mel/log/DCT and the LPC autocorrelation — X and Y never
     leave VMEM (the XLA path re-materializes them in HBM, which becomes the
-    bandwidth bound once the packed math drops the FLOP count ~7x)."""
+    bandwidth bound once the packed math drops the FLOP count ~7x).
+
+    When `frames`/`D` arrive as bfloat16 (SRTPU_FRONTEND_DTYPE=bf16) the
+    dominant [tile,256]x[256,512] matmul runs single-pass on the MXU with
+    f32 accumulation; X and everything after stays f32."""
     n, flen = frames.shape
     ncols = D.shape[1]
     nmel = W.shape[1]
@@ -161,13 +165,16 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
 def packed_from_frames(frames: jnp.ndarray, D: np.ndarray, W: np.ndarray,
                        dct_t: np.ndarray, floor: float,
                        A: np.ndarray | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       mm_bf16: bool = False):
     """[..., T, frame_len] RAW frames -> [..., T, nceps] MFCC (pre-CMVN) and
     (when A is given) the [..., T, order+1] LPC autocorrelation. The packed
-    operator D already contains windowing and pre-emphasis."""
+    operator D already contains windowing and pre-emphasis. mm_bf16 feeds
+    the DFT matmul bf16 operands (f32 accumulation)."""
     orig_shape = frames.shape
     flen = orig_shape[-1]
-    f2 = frames.reshape(-1, flen).astype(jnp.float32)
+    mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    f2 = frames.reshape(-1, flen).astype(mm_dt)
     n = f2.shape[0]
     n_pad = _round_up(max(n, 1), FRAME_TILE)
     if n_pad != n:
@@ -183,7 +190,7 @@ def packed_from_frames(frames: jnp.ndarray, D: np.ndarray, W: np.ndarray,
     if not want_acorr:
         A = np.zeros((D.shape[1], 8), np.float64)
 
-    out, r = _run_packed(f2, jnp.asarray(D, jnp.float32), jnp.asarray(W_p),
+    out, r = _run_packed(f2, jnp.asarray(D, mm_dt), jnp.asarray(W_p),
                          jnp.asarray(dct_p), jnp.asarray(A, jnp.float32),
                          float(floor), interpret)
     out = out[:n].reshape(orig_shape[:-1] + (dct_t.shape[1],))
