@@ -36,6 +36,30 @@ class MfccConfig:
     # Per-utterance cepstral mean/variance normalization,
     # src/feature/MFCC.py:74-77 (applied only when n_frames > 1).
     cmvn: bool = True
+    # Filterbank frequency bounds. f_max=None selects the melfb.m
+    # exp-spaced bank spanning [0, fs/2] (the reference's own MFCC.py
+    # fallback); setting f_max (optionally f_min) selects the bounded
+    # triangular bank of the bob.ap.Ceps wrapper the reference prefers
+    # (src/feature/BOB.py:13-18, defaults f in [0, 6000]).
+    f_min: float = 0.0
+    f_max: Optional[float] = None
+    # mel warping for the bounded bank (bob's mel_scale flag); ignored by
+    # the melfb.m bank.
+    mel_scale: bool = True
+    # Pre-emphasis/window order: False = the reference MFCC.py's
+    # window-then-preemph (src/feature/MFCC.py:61-64); True = bob.ap's
+    # preemph-then-window with the first sample scaled by (1-a).
+    preemph_first: bool = False
+
+
+def bob_mfcc_config(**overrides) -> "MfccConfig":
+    """The bob.ap.Ceps defaults the reference uses when bob is importable:
+    55 filters, 19 cepstra, f in [0, 6000] Hz, pre-emphasis before the
+    window (src/feature/BOB.py:13-18)."""
+    kw = dict(n_filters=55, n_ceps=19, f_min=0.0, f_max=6000.0,
+              preemph_first=True)
+    kw.update(overrides)
+    return MfccConfig(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

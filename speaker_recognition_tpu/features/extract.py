@@ -120,7 +120,12 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
 
     # Compile-time constant operators (float64 on host, cast once).
     C_np, S_np = frontend.dft_power_projection(flen, mf.fft_size)
-    mel_np = frontend.mel_filterbank(fs, mf.fft_size, mf.n_filters).T  # [bins, nb]
+    if mf.f_max is not None:
+        mel_np = frontend.mel_filterbank_bounded(
+            fs, mf.fft_size, mf.n_filters, mf.f_min, mf.f_max,
+            mf.mel_scale).T                                    # [bins, nb]
+    else:
+        mel_np = frontend.mel_filterbank(fs, mf.fft_size, mf.n_filters).T
     dct_np = frontend.dct_matrix(mf.n_filters)[1 : mf.n_ceps + 1].T
     # [nb, nceps]; drops c0, MFCC.py:36-38
     C = jnp.asarray(C_np, dt)
@@ -148,7 +153,8 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
     if use_packed:
         D_np, W_np, A_np = frontend.packed_frontend_operators(
             flen, mf.fft_size, mf.pre_emph, mel_np,
-            lpc_order=lp.n_lpc if cfg.use_lpc else None)
+            lpc_order=lp.n_lpc if cfg.use_lpc else None,
+            preemph_first=mf.preemph_first)
         D_c = jnp.asarray(D_np, dt)
         W_c = jnp.asarray(W_np, dt)
         A_c = jnp.asarray(A_np, dt) if cfg.use_lpc else None
@@ -194,7 +200,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 feat = ceps
             return jnp.where(mask[..., None], feat, 0.0), mask
 
-        wp = window_preemph(frames, flen, mf.pre_emph)
+        wp = window_preemph(frames, flen, mf.pre_emph, mf.preemph_first)
         if use_pallas:
             from ..ops import pallas_frontend
             out = pallas_frontend.mfcc_from_frames(

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CrbmParams", "CrbmTrainConfig", "fit", "fit_bank",
+__all__ = ["CrbmParams", "CrbmTrainConfig", "CrbmTrainState", "fit",
+           "fit_bank", "fit_bank_segment", "init_train_state",
            "reconstruction_error", "bank_reconstruction_errors", "predict_bank"]
 
 SIGMA = 0.2  # crbm.cc:122
@@ -132,50 +133,78 @@ def init_params(key, nv: int, nh: int, X: jnp.ndarray, mask: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nh", "cfg"))
-def fit(X: jnp.ndarray, mask: jnp.ndarray, nh: int, cfg: CrbmTrainConfig,
-        key) -> CrbmParams:
-    """Train one CRBM on [n, nv] frames (valid frames form a contiguous
-    prefix). Minibatches wrap around modulo n like the reference's
-    X[i % n] walk; padded rows are never visited because indices are taken
-    modulo the true count.
+class CrbmTrainState(NamedTuple):
+    """Resumable training state: parameters, momentum velocities, and the
+    next global step index. The TPU-native analogue of the reference's
+    periodic model save during long runs (nr_epoch_save, crbm.cc:370-376) —
+    training in segments from a saved state is bit-identical to one
+    monolithic run with the same base key."""
 
-    The scan's trip count is static (sized for the padded row count so a
-    vmapped bank shares one program), but each speaker only applies
-    n_epochs * ceil(n_valid / batch) updates — the reference's per-speaker
-    epoch semantics — with later steps masked out.
-    """
-    n_total, nv = X.shape
-    n = jnp.sum(mask.astype(jnp.int32))
-    key, ik = jax.random.split(key)
-    params = init_params(ik, nv, nh, X, mask, X.dtype)
+    params: CrbmParams
+    vel: "_Velocity"
+    step: jnp.ndarray  # int32 scalar: next global step
+
+
+def init_train_state(key, nh: int, X: jnp.ndarray,
+                     mask: jnp.ndarray) -> CrbmTrainState:
+    """Fresh state; the init draw is fold_in(key, 0) so step keys
+    (fold_in(key, 1 + step)) never collide with it."""
+    nv = X.shape[-1]
+    params = init_params(jax.random.fold_in(key, 0), nv, nh, X, mask, X.dtype)
     vel = _Velocity(jnp.zeros_like(params.vb), jnp.zeros_like(params.hb),
                     jnp.zeros_like(params.w), jnp.zeros_like(params.a))
+    return CrbmTrainState(params, vel, jnp.asarray(0, jnp.int32))
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("nh", "cfg", "n_epochs", "total_epochs"))
+def _fit_segment(X: jnp.ndarray, mask: jnp.ndarray, nh: int,
+                 cfg: CrbmTrainConfig, key, state: CrbmTrainState,
+                 n_epochs: int, total_epochs: int) -> CrbmTrainState:
+    """Advance training by n_epochs (of a total_epochs-epoch run).
+
+    Minibatches wrap around modulo n like the reference's X[i % n] walk;
+    padded rows are never visited because indices are taken modulo the true
+    count. The scan's trip count is static (sized for the padded row count
+    so a vmapped bank shares one program), but each speaker only applies
+    total_epochs * ceil(n_valid / batch) updates — the reference's
+    per-speaker epoch semantics (CRBMTrainer::train's `for i in 0..n step
+    batch`, crbm.cc:398-405) — with later steps masked out.
+    """
+    n_total = X.shape[0]
+    n = jnp.sum(mask.astype(jnp.int32))
     batches_per_epoch = max(-(-n_total // cfg.batch_size), 1)
-    n_steps = cfg.n_epochs * batches_per_epoch
-    # per-speaker budget from the true frame count (cf. CRBMTrainer::train's
-    # `for i in 0..n step batch`, crbm.cc:398-405)
-    budget = cfg.n_epochs * jnp.maximum(
+    n_steps = n_epochs * batches_per_epoch
+    budget = total_epochs * jnp.maximum(
         -(-n // jnp.maximum(cfg.batch_size, 1)), 1)
-    starts = (jnp.arange(n_steps) % batches_per_epoch) * cfg.batch_size
-    keys = jax.random.split(key, n_steps)
+    step0 = state.step
 
-    def step(carry, sk):
+    def step(carry, i):
         params, vel = carry
-        start, k, step_idx = sk
+        gstep = step0 + i
+        k = jax.random.fold_in(key, 1 + gstep)
+        start = (gstep % batches_per_epoch) * cfg.batch_size
         idx = (start + jnp.arange(cfg.batch_size)) % jnp.maximum(n, 1)
         batch = X[idx]
         new_params, new_vel = _cd_batch(params, vel, batch, k, cfg)
-        live = step_idx < budget
+        live = gstep < budget
         params = jax.tree.map(lambda a, b: jnp.where(live, a, b),
                               new_params, params)
         vel = jax.tree.map(lambda a, b: jnp.where(live, a, b), new_vel, vel)
         return (params, vel), None
 
-    (params, _), _ = jax.lax.scan(
-        step, (params, vel), (starts, keys, jnp.arange(n_steps)))
-    return params
+    (params, vel), _ = jax.lax.scan(
+        step, (state.params, state.vel), jnp.arange(n_steps, dtype=jnp.int32))
+    return CrbmTrainState(params, vel, step0 + n_steps)
+
+
+def fit(X: jnp.ndarray, mask: jnp.ndarray, nh: int, cfg: CrbmTrainConfig,
+        key) -> CrbmParams:
+    """Train one CRBM on [n, nv] frames (valid frames form a contiguous
+    prefix) for cfg.n_epochs epochs."""
+    state = init_train_state(key, nh, X, mask)
+    return _fit_segment(X, mask, nh, cfg, key, state,
+                        cfg.n_epochs, cfg.n_epochs).params
 
 
 def reconstruction_error(params: CrbmParams, X: jnp.ndarray,
@@ -196,6 +225,23 @@ def fit_bank(Xs: jnp.ndarray, masks: jnp.ndarray, nh: int,
     S = Xs.shape[0]
     keys = jax.random.split(key, S)
     return jax.vmap(lambda x, m, k: fit(x, m, nh, cfg, k))(Xs, masks, keys)
+
+
+def fit_bank_segment(Xs: jnp.ndarray, masks: jnp.ndarray, nh: int,
+                     cfg: CrbmTrainConfig, key,
+                     state: CrbmTrainState | None, n_epochs: int,
+                     total_epochs: int) -> CrbmTrainState:
+    """Advance a whole speaker bank's training by n_epochs; resumable from a
+    saved state (the reference's nr_epoch_save checkpointing,
+    crbm.cc:370-376). Segments compose exactly: running total_epochs in one
+    segment or many yields bit-identical parameters."""
+    S = Xs.shape[0]
+    keys = jax.random.split(key, S)
+    if state is None:
+        state = jax.vmap(lambda k, x, m: init_train_state(k, nh, x, m))(
+            keys, Xs, masks)
+    return jax.vmap(lambda x, m, k, s: _fit_segment(
+        x, m, nh, cfg, k, s, n_epochs, total_epochs))(Xs, masks, keys, state)
 
 
 @jax.jit

@@ -26,15 +26,25 @@ def frame_signal(signal: jnp.ndarray, frame_len: int, frame_shift: int) -> jnp.n
     return signal[..., idx]
 
 
-def window_preemph(frames: jnp.ndarray, frame_len: int, pre_emph: float) -> jnp.ndarray:
+def window_preemph(frames: jnp.ndarray, frame_len: int, pre_emph: float,
+                   preemph_first: bool = False) -> jnp.ndarray:
     """Window then pre-emphasize a batch of frames.
 
     Order matters for parity: the reference windows first, then pre-emphasizes
     the *windowed* frame (src/feature/MFCC.py:61-64). The numpy in-place
     `frame[1:] -= frame[:-1]*c` evaluates its RHS on the original values, so
     this is a non-recursive first difference.
+
+    `preemph_first=True` is the bob.ap.Ceps order (the extractor the
+    reference prefers when bob imports, src/feature/__init__.py:11-13):
+    pre-emphasize the raw frame (first sample scaled by 1-a), then window.
     """
     w = jnp.asarray(frontend.hamming(frame_len), dtype=frames.dtype)
+    if preemph_first:
+        pf = jnp.concatenate(
+            [frames[..., :1] * (1.0 - pre_emph),
+             frames[..., 1:] - pre_emph * frames[..., :-1]], axis=-1)
+        return pf * w
     wf = frames * w
     return jnp.concatenate([wf[..., :1], wf[..., 1:] - pre_emph * wf[..., :-1]], axis=-1)
 

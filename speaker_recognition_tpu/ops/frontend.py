@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "hamming",
     "mel_filterbank",
+    "mel_filterbank_bounded",
     "dct_matrix",
     "dft_power_projection",
     "windowed_preemph_operator",
@@ -72,6 +73,46 @@ def mel_filterbank(fs: int, fft_size: int, n_bands: int) -> np.ndarray:
     c2 = np.arange(0, b3)
     np.add.at(M, (fp[c2], c2 + 1), 2 * pm[c2])
     return M
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_filterbank_bounded(fs: int, fft_size: int, n_bands: int,
+                           f_min: float, f_max: float,
+                           mel_scale: bool = True) -> np.ndarray:
+    """Frequency-bounded triangular filterbank — the bob.ap.Ceps-style bank.
+
+    The reference's preferred extractor is the bob wrapper
+    (src/feature/__init__.py:11-13 tries BOB first) whose defaults are
+    55 filters, 19 cepstra, f in [0, 6000] Hz (src/feature/BOB.py:13-18).
+    Unlike the melfb.m fallback bank (`mel_filterbank`, which always spans
+    [0, fs/2] with exponential spacing), this bank places n_bands triangular
+    filters with peaks equally spaced on the mel scale (2595*log10(1+f/700))
+    between f_min and f_max; `mel_scale=False` spaces them linearly (bob's
+    mel_scale flag). Triangle weights are evaluated in the warped domain.
+
+    Returns M of shape [n_bands, fft_size//2 + 1]; mel energies are
+    M @ power_spectrum.
+    """
+    # NOTE: the reference passes bob's default f_max=6000 against fs=8000
+    # corpora (src/feature/BOB.py:14); clamp to Nyquist so no filter is
+    # left without FFT-bin support (a zero mel energy would hit the log
+    # floor and poison CMVN).
+    f_max = min(float(f_max), fs / 2.0)
+    assert 0.0 <= f_min < f_max, (f_min, f_max, fs)
+    warp = _hz_to_mel if mel_scale else (
+        lambda f: np.asarray(f, dtype=np.float64))
+    edges = np.linspace(warp(f_min), warp(f_max), n_bands + 2)
+    freqs = np.arange(fft_size // 2 + 1, dtype=np.float64) * fs / fft_size
+    m = warp(freqs)[None, :]                      # [1, bins]
+    left = edges[:-2, None]                        # [n_bands, 1]
+    center = edges[1:-1, None]
+    right = edges[2:, None]
+    rising = (m - left) / np.maximum(center - left, 1e-30)
+    falling = (right - m) / np.maximum(right - center, 1e-30)
+    return np.clip(np.minimum(rising, falling), 0.0, None)
 
 
 def dct_matrix(n: int) -> np.ndarray:
@@ -130,7 +171,8 @@ def halfspec_to_fullspec(frame_len: int, fft_small: int, fft_big: int) -> np.nda
 
 def packed_frontend_operators(frame_len: int, fft_size: int, pre_emph: float,
                               mel_t: np.ndarray,
-                              lpc_order: int | None = None):
+                              lpc_order: int | None = None,
+                              preemph_first: bool = False):
     """Operators for the packed (half-spectrum) frontend.
 
     The full pipeline per frame is
@@ -153,7 +195,7 @@ def packed_frontend_operators(frame_len: int, fft_size: int, pre_emph: float,
     F = frame_len
     fft2 = 2 * F
     C, S = dft_power_projection(F, fft2)          # [F, F+1] each
-    B = windowed_preemph_operator(F, pre_emph)    # y = x @ B.T
+    B = windowed_preemph_operator(F, pre_emph, preemph_first)  # y = x @ B.T
     Cw = B.T @ C
     Sw = B.T @ S
     # packed columns: [re 0..F-1 | im 1..F-1 | re F(Nyquist)] = 2F columns
@@ -178,16 +220,25 @@ def packed_frontend_operators(frame_len: int, fft_size: int, pre_emph: float,
     return D, W_mel, A
 
 
-def windowed_preemph_operator(frame_len: int, pre_emph: float) -> np.ndarray:
+def windowed_preemph_operator(frame_len: int, pre_emph: float,
+                              preemph_first: bool = False) -> np.ndarray:
     """Combined window+pre-emphasis as one [frame_len, frame_len] operator.
 
-    The reference applies pre-emphasis AFTER windowing
-    (src/feature/MFCC.py:61-64: frame *= window; frame[1:] -= 0.95*frame[:-1])
-    — nonstandard order, load-bearing for parity. As a linear map:
+    Default (`preemph_first=False`): the reference applies pre-emphasis AFTER
+    windowing (src/feature/MFCC.py:61-64: frame *= window;
+    frame[1:] -= 0.95*frame[:-1]) — nonstandard order, load-bearing for
+    parity. As a linear map:
         y = A @ (w * x),  A = I - pre_emph * subdiag
     Returned operator B satisfies y = x @ B^T i.e. B = A @ diag(w).
+
+    `preemph_first=True` is the bob.ap order (pre-emphasize the raw frame,
+    then window; first sample scaled by 1-a like bob's FrameExtractor):
+        y = w * (A' @ x),  A'[0,0] = 1 - pre_emph  ->  B = diag(w) @ A'.
     """
     w = hamming(frame_len)
     A = np.eye(frame_len)
     A[np.arange(1, frame_len), np.arange(frame_len - 1)] = -pre_emph
+    if preemph_first:
+        A[0, 0] = 1.0 - pre_emph
+        return w[:, None] * A
     return A * w[None, :]

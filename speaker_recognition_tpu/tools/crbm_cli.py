@@ -19,6 +19,11 @@ import argparse
 import numpy as np
 
 
+def _save_bank(path, labels, bank):
+    np.savez(path, labels=np.asarray(labels),
+             **{k: np.asarray(v) for k, v in bank._asdict().items()})
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="CRBM speaker modeling")
     ap.add_argument("task", choices=["train", "test"])
@@ -29,6 +34,15 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--cd-k", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-every", type=int, default=0, metavar="N",
+                    help="checkpoint the model every N epochs during "
+                    "training (the reference's nr_epoch_save, "
+                    "crbm.cc:370-376); resumable and bit-identical to a "
+                    "monolithic run")
+    ap.add_argument("--text-dir", default=None, metavar="DIR",
+                    help="also dump per-speaker models in the reference's "
+                    "CRBM text format (crbm.cc:238-263) as "
+                    "DIR/crbm.<label>.model")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,18 +65,60 @@ def main(argv=None):
         cfg = crbm.CrbmTrainConfig(n_epochs=args.epochs,
                                    batch_size=args.batch_size,
                                    cd_k=args.cd_k)
-        bank = crbm.fit_bank(jnp.asarray(Xs), jnp.asarray(masks), args.hidden,
-                             cfg, jax.random.PRNGKey(args.seed))
-        np.savez(args.model, labels=np.asarray(labels),
-                 **{k: np.asarray(v) for k, v in bank._asdict().items()})
+        key = jax.random.PRNGKey(args.seed)
+        if args.save_every > 0:
+            state, done = None, 0
+            while done < args.epochs:
+                seg = min(args.save_every, args.epochs - done)
+                state = crbm.fit_bank_segment(
+                    jnp.asarray(Xs), jnp.asarray(masks), args.hidden, cfg,
+                    key, state, seg, args.epochs)
+                done += seg
+                _save_bank(args.model, labels, state.params)
+                print(f"checkpoint at epoch {done}/{args.epochs}")
+            bank = state.params
+        else:
+            bank = crbm.fit_bank(jnp.asarray(Xs), jnp.asarray(masks),
+                                 args.hidden, cfg, key)
+        _save_bank(args.model, labels, bank)
+        if args.text_dir:
+            import os
+
+            from ..utils import serialization
+
+            os.makedirs(args.text_dir, exist_ok=True)
+            for i, lbl in enumerate(labels):
+                p = jax.tree.map(lambda v: np.asarray(v[i]), bank)
+                with open(os.path.join(args.text_dir,
+                                       f"crbm.{lbl}.model"), "w") as f:
+                    serialization.dump_reference_crbm(p, f)
         print(f"trained {S} speaker CRBMs (nh={args.hidden}) on {len(X)} "
               f"instances")
     else:
-        z = np.load(args.model if str(args.model).endswith(".npz")
-                    else args.model + ".npz")
-        bank = crbm.CrbmParams(**{k: jnp.asarray(z[k])
-                                  for k in crbm.CrbmParams._fields})
-        model_labels = [int(v) for v in z["labels"]]
+        import os
+
+        if os.path.isdir(args.model):
+            # directory of reference-format text models: crbm.<label>.model
+            import glob
+
+            from ..utils import serialization
+
+            model_labels, parts = [], []
+            for p in sorted(glob.glob(os.path.join(args.model,
+                                                   "crbm.*.model"))):
+                model_labels.append(int(os.path.basename(p).split(".")[1]))
+                with open(p) as f:
+                    parts.append(serialization.load_reference_crbm(f))
+            bank = crbm.CrbmParams(*[
+                jnp.asarray(np.stack([np.asarray(getattr(q, fld), np.float32)
+                                      for q in parts]))
+                for fld in crbm.CrbmParams._fields])
+        else:
+            z = np.load(args.model if str(args.model).endswith(".npz")
+                        else args.model + ".npz")
+            bank = crbm.CrbmParams(**{k: jnp.asarray(z[k])
+                                      for k in crbm.CrbmParams._fields})
+            model_labels = [int(v) for v in z["labels"]]
         correct = 0
         for xi, yi in zip(X, y):
             errs = crbm.bank_reconstruction_errors(

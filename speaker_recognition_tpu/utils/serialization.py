@@ -101,6 +101,66 @@ def load_jfa_supervectors(directory: str) -> GmmParams:
     return GmmParams(weights, means, np.sqrt(variances))
 
 
+# -- reference CRBM text format ---------------------------------------------
+
+def dump_reference_crbm(params, fobj) -> None:
+    """Write one CRBM in the reference's text format (CRBM::dump,
+    src/nn/src/crbm.cc:238-263):
+
+        nv nh
+        visible biases / hidden biases (one line each)
+        w rows: nv lines of nh weights
+        hidden slopes a
+        visible ranges (lo hi pairs), hidden ranges (lo hi pairs)
+        sigma
+    """
+    vb = np.asarray(params.vb, np.float64)
+    hb = np.asarray(params.hb, np.float64)
+    w = np.asarray(params.w, np.float64)
+    a = np.asarray(params.a, np.float64)
+    vlo = np.asarray(params.vlo, np.float64)
+    vhi = np.asarray(params.vhi, np.float64)
+    nv, nh = w.shape
+
+    def row(vals):
+        return " ".join(f"{float(v):.10f}" for v in vals) + " \n"
+
+    fobj.write(f"{nv} {nh}\n")
+    fobj.write(row(vb))
+    fobj.write(row(hb))
+    for i in range(nv):
+        fobj.write(row(w[i]))
+    fobj.write(row(a))
+    fobj.write(row(np.stack([vlo, vhi], axis=1).reshape(-1)))
+    # hidden range is fixed [0, 1] in both implementations (crbm.cc:96-100)
+    fobj.write(row(np.tile([0.0, 1.0], nh)))
+    from ..models.crbm import SIGMA
+    fobj.write(f"{SIGMA:.10f}\n")
+
+
+def load_reference_crbm(fobj):
+    """Parse the reference CRBM text format (CRBM::load, crbm.cc:265-290)
+    into CrbmParams. The fixed hidden range and sigma are validated."""
+    from ..models.crbm import SIGMA, CrbmParams
+
+    tokens = fobj.read().split()
+    it = iter(tokens)
+    nv, nh = int(next(it)), int(next(it))
+    vb = np.array([float(next(it)) for _ in range(nv)])
+    hb = np.array([float(next(it)) for _ in range(nh)])
+    w = np.array([[float(next(it)) for _ in range(nh)] for _ in range(nv)])
+    a = np.array([float(next(it)) for _ in range(nh)])
+    vrange = np.array([float(next(it)) for _ in range(2 * nv)]).reshape(nv, 2)
+    hrange = np.array([float(next(it)) for _ in range(2 * nh)]).reshape(nh, 2)
+    sigma = float(next(it))
+    if not (np.allclose(hrange[:, 0], 0.0) and np.allclose(hrange[:, 1], 1.0)):
+        raise ValueError("hidden range must be [0,1] (crbm.cc:96-100)")
+    if abs(sigma - SIGMA) > 1e-6:
+        raise ValueError(f"sigma {sigma} != fixed {SIGMA} (crbm.cc:118-123)")
+    return CrbmParams(vb=vb, hb=hb, w=w, a=a,
+                      vlo=vrange[:, 0], vhi=vrange[:, 1])
+
+
 # -- native session artifact ----------------------------------------------
 
 def _config_to_json(cfg) -> str:

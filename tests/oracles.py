@@ -9,6 +9,8 @@ src/gmm/src/gmm.cc.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -68,6 +70,56 @@ def oracle_mfcc(fs, signal, win_length_ms=32, win_shift_ms=16, fft_size=2048,
         mu = feats.mean(axis=0)
         sigma = feats.std(axis=0)
         feats = (feats - mu) / sigma
+    return feats
+
+
+def oracle_mel_filterbank_bounded(fs, fft_size, n_bands, f_min, f_max,
+                                  mel_scale=True):
+    """Bin-loop triangular bank between f_min/f_max (bob.ap.Ceps-style)."""
+    def warp(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0) if mel_scale else f
+
+    edges = [warp(f_min) + (warp(f_max) - warp(f_min)) * i / (n_bands + 1)
+             for i in range(n_bands + 2)]
+    M = np.zeros((n_bands, fft_size // 2 + 1))
+    for k in range(fft_size // 2 + 1):
+        m = warp(k * fs / fft_size)
+        for b in range(n_bands):
+            lo, c, hi = edges[b], edges[b + 1], edges[b + 2]
+            if lo <= m <= c:
+                M[b, k] = (m - lo) / (c - lo)
+            elif c < m <= hi:
+                M[b, k] = (hi - m) / (hi - c)
+    return M
+
+
+def oracle_mfcc_bob(fs, signal, win_length_ms=32, win_shift_ms=16,
+                    fft_size=2048, n_filters=55, n_ceps=19, pre_emph=0.95,
+                    f_min=0.0, f_max=4000.0, floor=1e-100, cmvn=True):
+    """Frame-loop MFCC with the bob.ap.Ceps conventions the reference
+    prefers (src/feature/BOB.py:13-18): pre-emphasis before the window
+    (first sample scaled 1-a), bounded triangular mel bank, DCT coefs
+    1..n_ceps."""
+    signal = np.asarray(signal, dtype=np.float64)
+    flen = int(float(win_length_ms) / 1000 * fs)
+    fshift = int(float(win_shift_ms) / 1000 * fs)
+    window = oracle_hamming(flen)
+    M = oracle_mel_filterbank_bounded(fs, fft_size, n_filters, f_min, f_max)
+    D = oracle_dctmtx(n_filters)[1 : n_ceps + 1]
+    T = (len(signal) - flen) // fshift + 1
+    feats = []
+    for f in range(T):
+        frame = signal[f * fshift : f * fshift + flen].copy()
+        pf = frame.copy()
+        pf[1:] -= frame[:-1] * pre_emph
+        pf[0] *= 1.0 - pre_emph
+        pf *= window
+        X = np.abs(np.fft.fft(pf, fft_size)[: fft_size // 2 + 1]) ** 2
+        X[X < floor] = floor
+        feats.append(D @ np.log(M @ X))
+    feats = np.vstack(feats)
+    if cmvn and feats.shape[0] > 1:
+        feats = (feats - feats.mean(axis=0)) / feats.std(axis=0)
     return feats
 
 

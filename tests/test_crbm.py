@@ -57,6 +57,50 @@ class TestCrbm:
         np.testing.assert_allclose(np.asarray(p2.vhi), [1.0, 3.0])
 
 
+class TestCrbmCheckpointing:
+    """Segmented (checkpoint/resume) training — the reference's
+    nr_epoch_save periodic save (crbm.cc:370-376)."""
+
+    def test_segmented_equals_monolithic(self):
+        rng = np.random.RandomState(4)
+        Xs = np.stack([speaker_frames(rng.randn(5), n=130, d=5, seed=i)
+                       for i in range(3)])
+        masks = np.ones(Xs.shape[:2], dtype=bool)
+        masks[1, 100:] = False  # ragged speaker exercises the budget mask
+        cfg = crbm.CrbmTrainConfig(n_epochs=12, batch_size=50)
+        key = jax.random.PRNGKey(7)
+        mono = crbm.fit_bank(jnp.asarray(Xs), jnp.asarray(masks), 6, cfg, key)
+        state = None
+        for seg in (5, 4, 3):  # 12 epochs in three uneven segments
+            state = crbm.fit_bank_segment(jnp.asarray(Xs), jnp.asarray(masks),
+                                          6, cfg, key, state, seg, 12)
+        for a, b in zip(mono, state.params):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_reference_text_roundtrip(self):
+        import io
+
+        from speaker_recognition_tpu.utils import serialization
+
+        rng = np.random.RandomState(5)
+        X = speaker_frames(rng.randn(4), n=120, d=4, seed=6)
+        mask = jnp.ones(len(X), dtype=bool)
+        cfg = crbm.CrbmTrainConfig(n_epochs=5, batch_size=40)
+        params = crbm.fit(jnp.asarray(X), mask, 5, cfg, jax.random.PRNGKey(1))
+        buf = io.StringIO()
+        serialization.dump_reference_crbm(params, buf)
+        back = serialization.load_reference_crbm(io.StringIO(buf.getvalue()))
+        for fld in crbm.CrbmParams._fields:
+            np.testing.assert_allclose(np.asarray(getattr(back, fld)),
+                                       np.asarray(getattr(params, fld)),
+                                       atol=1e-9)
+        # the %.10f text resolution preserves classification behavior
+        e1 = float(crbm.reconstruction_error(params, jnp.asarray(X), mask))
+        bj = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), back)
+        e2 = float(crbm.reconstruction_error(bj, jnp.asarray(X), mask))
+        assert abs(e1 - e2) < 1e-3 * max(1.0, abs(e1))
+
+
 class TestRbm:
     def test_learns_binary_patterns(self):
         rng = np.random.RandomState(4)

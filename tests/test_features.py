@@ -80,6 +80,64 @@ class TestMfcc:
             extract.mfcc_extract(8000, np.zeros(256 * 5, dtype=np.int16))
 
 
+class TestBobStyleMfcc:
+    """The bob.ap.Ceps-flavored extractor (src/feature/BOB.py:13-18):
+    bounded triangular mel bank, 55 filters / 19 ceps / f in [0,6000],
+    pre-emphasis before the window."""
+
+    def test_bounded_filterbank_matches_loop_oracle(self):
+        M = frontend.mel_filterbank_bounded(8000, 2048, 55, 0.0, 6000.0)
+        # f_max clamps to Nyquist (bob's default 6000 vs fs=8000 corpora)
+        ref = oracles.oracle_mel_filterbank_bounded(8000, 2048, 55, 0.0, 4000.0)
+        assert M.shape == (55, 1025)
+        np.testing.assert_allclose(M, ref, rtol=1e-12, atol=1e-12)
+        # every filter has support and peaks at <= 1
+        assert (M.max(axis=1) > 0).all() and M.max() <= 1.0 + 1e-12
+
+    def test_linear_scale_bank(self):
+        M = frontend.mel_filterbank_bounded(8000, 512, 20, 100.0, 3500.0,
+                                            mel_scale=False)
+        ref = oracles.oracle_mel_filterbank_bounded(8000, 512, 20, 100.0,
+                                                    3500.0, mel_scale=False)
+        np.testing.assert_allclose(M, ref, rtol=1e-12, atol=1e-12)
+
+    def test_bob_mfcc_matches_oracle_f64(self):
+        from speaker_recognition_tpu.config import bob_mfcc_config
+        sig = synth_speech(8000 * 2, seed=5)
+        cfg = bob_mfcc_config()
+        ours = extract.mfcc_extract(8000, sig, cfg, dtype="float64")
+        ref = oracles.oracle_mfcc_bob(8000, sig)
+        assert ours.shape == ref.shape == ((8000 * 2 - 256) // 128 + 1, 19)
+        np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-8)
+
+    def test_bob_mfcc_packed_matches_full(self):
+        from speaker_recognition_tpu.config import bob_mfcc_config
+        sig = synth_speech(8000 * 2, seed=7)
+        cfg = bob_mfcc_config()
+        full = extract._feature_fn(
+            8000, FeatureConfig(mfcc=cfg, use_lpc=False), 16384, "float64",
+            "off", "f32", "full")
+        packed = extract._feature_fn(
+            8000, FeatureConfig(mfcc=cfg, use_lpc=False), 16384, "float64",
+            "off", "f32", "packed")
+        x = np.zeros(16384)
+        x[: len(sig)] = sig
+        xb = jnp.asarray(x)[None, :]
+        lb = jnp.asarray([len(sig)])
+        a, _ = full(xb, lb)
+        b, _ = packed(xb, lb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
+
+    def test_mix_feature_with_bob_mfcc(self):
+        from speaker_recognition_tpu.config import bob_mfcc_config
+        sig = synth_speech(8000 * 2, seed=9)
+        cfg = FeatureConfig(mfcc=bob_mfcc_config(), use_lpc=True)
+        feat = extract.mix_feature(8000, sig, cfg)
+        assert feat.shape[1] == 19 + 15
+        assert np.isfinite(feat).all()
+
+
 class TestLpc:
     def test_levinson_matches_oracle(self):
         rng = np.random.RandomState(4)

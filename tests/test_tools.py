@@ -123,6 +123,39 @@ class TestSvmIo:
         assert X.shape == (2, 4)
 
 
+class TestCrbmCli:
+    def test_train_checkpointed_then_test_from_npz_and_text(self, tmp_path,
+                                                            capsys):
+        from speaker_recognition_tpu.tools import crbm_cli
+
+        rng = np.random.RandomState(0)
+        centers = [rng.randn(5) * 2 for _ in range(2)]
+        Xtr = np.vstack([c + 0.1 * rng.randn(60, 5) for c in centers])
+        ytr = np.repeat([0, 1], 60)
+        Xte = np.vstack([c + 0.1 * rng.randn(10, 5) for c in centers])
+        yte = np.repeat([0, 1], 10)
+        tr, te = str(tmp_path / "tr.svm"), str(tmp_path / "te.svm")
+        datamanip.write_svm_data(tr, Xtr, ytr)
+        datamanip.write_svm_data(te, Xte, yte)
+        model = str(tmp_path / "bank.npz")
+        text_dir = str(tmp_path / "text_models")
+        crbm_cli.main(["train", "-i", tr, "-m", model, "--hidden", "6",
+                       "--epochs", "20", "--batch-size", "30",
+                       "--save-every", "8", "--text-dir", text_dir])
+        out = capsys.readouterr().out
+        assert "checkpoint at epoch 8/20" in out
+        assert "checkpoint at epoch 20/20" in out
+
+        crbm_cli.main(["test", "-i", te, "-m", model])
+        acc_npz = float(capsys.readouterr().out.split("=")[-1])
+        assert acc_npz >= 0.9
+
+        # reference-format text models load as a bank and agree
+        crbm_cli.main(["test", "-i", te, "-m", text_dir])
+        acc_text = float(capsys.readouterr().out.split("=")[-1])
+        assert acc_text == acc_npz
+
+
 class TestNeuralNet:
     def test_learns_xor_ish(self):
         from speaker_recognition_tpu.models.neural_net import NeuralNet
