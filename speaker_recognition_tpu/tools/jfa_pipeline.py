@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..models import gmm, jfa
 
-__all__ = ["JfaModel", "collect_session_stats", "train_jfa", "enroll", "score"]
+__all__ = ["JfaModel", "collect_session_stats", "train_jfa", "enroll",
+           "score", "load_lst_features", "main"]
 
 
 class JfaModel(NamedTuple):
@@ -97,3 +98,138 @@ def score(model: JfaModel, y, z, N_test, F_test):
     z0 = jnp.zeros((n_test, model.hyper.D))
     x, _, _ = jfa.estimate_x(F_test, N_test, model.hyper, y0, z0, test_ids, K)
     return np.asarray(jfa.linear_scores(F_test, N_test, model.hyper, y, z, x, K))
+
+
+# -- text-manifest interchange + driver CLI ---------------------------------
+
+def load_lst_features(lst_path: str):
+    """Read a `logical=physical` manifest (src/jfa/parse_list.m) and its
+    per-utterance feature text files (gen-features-file.py layout).
+    Returns (labels [S], feature arrays)."""
+    from ..utils import serialization
+
+    pairs = serialization.read_lst(lst_path)
+    labels = [p[0] for p in pairs]
+    feats = [serialization.read_feature_text(p[1]) for p in pairs]
+    return labels, feats
+
+
+def _speaker_ids(labels):
+    order = sorted(set(labels))
+    index = {l: i for i, l in enumerate(order)}
+    return order, np.asarray([index[l] for l in labels], np.int32)
+
+
+def main(argv=None):
+    """Driver CLI mirroring the reference's JFA chain over the same text
+    interchange formats (feature text + .lst manifests + UBM supervector
+    directory):
+
+      gen-features  wav dirs -> feature text + <task>.lst
+                    (src/test/gen-features-file.py / extract-mfcc-data.py)
+      stats         UBM + .lst -> N/F sufficient stats npz
+                    (src/jfa/sc_compute_suf_stats.m)
+      train         enroll/train stats -> JFA model npz (train_all.m)
+      score         model + enroll/test stats -> score matrix
+                    (sc_score_dot_product.m / linear_scoring.m)
+    """
+    import argparse
+    import glob as globmod
+    import os
+
+    from ..utils import serialization
+
+    ap = argparse.ArgumentParser(description="JFA pipeline over the "
+                                 "reference's text interchange formats")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-features", help="wav dirs -> feature text + lst")
+    g.add_argument("-i", "--input", required=True,
+                   help="space-separated wav dirs; label = dir basename")
+    g.add_argument("-o", "--output-dir", required=True)
+    g.add_argument("--task", default="train", help="manifest name (<task>.lst)")
+
+    s = sub.add_parser("stats", help="Baum-Welch N/F stats against the UBM")
+    s.add_argument("--ubm-dir", required=True,
+                   help="directory holding ubm_means/ubm_variances/ubm_weights")
+    s.add_argument("--lst", required=True)
+    s.add_argument("-o", "--output", required=True, help="stats npz path")
+
+    t = sub.add_parser("train", help="train v/u/(d) from stats")
+    t.add_argument("--ubm-dir", required=True)
+    t.add_argument("--stats", required=True)
+    t.add_argument("-o", "--output", required=True, help="model npz path")
+    t.add_argument("--nv", type=int, default=4)
+    t.add_argument("--nu", type=int, default=2)
+    t.add_argument("--iters", type=int, default=20)
+    t.add_argument("--train-d", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+
+    c = sub.add_parser("score", help="channel-compensated linear scores")
+    c.add_argument("--ubm-dir", required=True)
+    c.add_argument("--model", required=True)
+    c.add_argument("--enroll-stats", required=True)
+    c.add_argument("--test-stats", required=True)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen-features":
+        from ..features.extract import mix_feature
+        from ..utils.native_io import read_wav
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        pairs = []
+        idx = 0
+        for d in args.input.split():
+            label = os.path.basename(os.path.normpath(d))
+            for wav in sorted(globmod.glob(os.path.join(d, "*.wav"))):
+                fs, sig = read_wav(wav)
+                feat = mix_feature(fs, sig)
+                fname = os.path.join(args.output_dir,
+                                     f"{args.task}-{label}-{idx}")
+                serialization.write_feature_text(fname, feat)
+                pairs.append((label, fname))
+                idx += 1
+        serialization.write_lst(
+            os.path.join(args.output_dir, args.task + ".lst"), pairs)
+        print(f"wrote {len(pairs)} feature files + {args.task}.lst")
+        return
+
+    ubm = serialization.load_jfa_supervectors(args.ubm_dir)
+    if args.cmd == "stats":
+        labels, feats = load_lst_features(args.lst)
+        N, F = collect_session_stats(ubm, feats)
+        np.savez(args.output, N=N, F=F, labels=np.asarray(labels))
+        print(f"stats for {len(labels)} sessions -> {args.output}")
+    elif args.cmd == "train":
+        z = np.load(args.stats if args.stats.endswith(".npz")
+                    else args.stats + ".npz")
+        _, spk_ids = _speaker_ids([str(v) for v in z["labels"]])
+        model = train_jfa(ubm, z["N"], z["F"], spk_ids, nv=args.nv,
+                          nu=args.nu, n_iter=args.iters,
+                          train_d=args.train_d, seed=args.seed)
+        np.savez(args.output, n_components=model.n_components,
+                 **{k: np.asarray(v) for k, v in
+                    model.hyper._asdict().items()})
+        print(f"JFA model (nv={args.nv}, nu={args.nu}) -> {args.output}")
+    elif args.cmd == "score":
+        z = np.load(args.model if args.model.endswith(".npz")
+                    else args.model + ".npz")
+        hyper = jfa.JfaHyper(**{k: jnp.asarray(z[k])
+                                for k in jfa.JfaHyper._fields})
+        model = JfaModel(hyper=hyper, n_components=int(z["n_components"]))
+        ez = np.load(args.enroll_stats if args.enroll_stats.endswith(".npz")
+                     else args.enroll_stats + ".npz")
+        tz = np.load(args.test_stats if args.test_stats.endswith(".npz")
+                     else args.test_stats + ".npz")
+        speakers, spk_ids = _speaker_ids([str(v) for v in ez["labels"]])
+        y, zf = enroll(model, ez["N"], ez["F"], spk_ids, len(speakers))
+        scores = score(model, y, zf, tz["N"], tz["F"])
+        test_labels = [str(v) for v in tz["labels"]]
+        for j, tl in enumerate(test_labels):
+            best = int(np.argmax(scores[:, j]))
+            print(f"{tl} -> {speakers[best]} "
+                  f"({' '.join('%.4f' % v for v in scores[:, j])})")
+
+
+if __name__ == "__main__":
+    main()

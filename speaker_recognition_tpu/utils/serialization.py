@@ -101,6 +101,53 @@ def load_jfa_supervectors(directory: str) -> GmmParams:
     return GmmParams(weights, means, np.sqrt(variances))
 
 
+# -- JFA text feature interchange -------------------------------------------
+#
+# The reference moves features between Python and its MATLAB JFA stack as
+# plain-text files plus ".lst" manifests (src/test/gen-features-file.py:95-116,
+# src/test/extract-mfcc-data.py): one feature file per utterance with one
+# space-separated frame per line, and manifests of "logical=physical" lines
+# (parsed by src/jfa/parse_list.m). Implementing the same format lets data
+# flow between the reference's JFA drivers and this pipeline in both
+# directions.
+
+def write_feature_text(path: str, feat) -> None:
+    """One utterance's [T, d] features, one frame per line (the
+    gen-features-file.py `_write` layout, trailing space included)."""
+    feat = np.asarray(feat, np.float64)
+    with open(path, "w") as f:
+        for row in feat:
+            f.write(" ".join(repr(float(v)) for v in row) + " \n")
+
+
+def read_feature_text(path: str) -> np.ndarray:
+    return np.loadtxt(path, ndmin=2)
+
+
+def write_lst(path: str, pairs) -> None:
+    """Manifest of (logical, physical) entries as `logical=physical` lines
+    (gen-features-file.py:114-116)."""
+    with open(path, "w") as f:
+        for logical, physical in pairs:
+            f.write(f"{logical}={physical}\n")
+
+
+def read_lst(path: str):
+    """Parse a manifest into [(logical, physical)], like parse_list.m: split
+    on the first '='."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            logical, _, physical = line.partition("=")
+            if not physical:
+                raise ValueError(f"malformed lst line (no '='): {line!r}")
+            out.append((logical, physical))
+    return out
+
+
 # -- reference CRBM text format ---------------------------------------------
 
 def dump_reference_crbm(params, fobj) -> None:

@@ -68,3 +68,113 @@ class TestJfaPipeline:
         pred = scores.argmax(axis=0)
         acc = (pred == np.asarray(truth)).mean()
         assert acc >= 0.75, (acc, scores)
+
+
+class TestJfaTextInterchangeCli:
+    """The reference's JFA text interchange: per-utterance feature text
+    files + logical=physical .lst manifests (gen-features-file.py:95-116,
+    parse_list.m), driven end-to-end through the jfa_pipeline CLI."""
+
+    FS = 8000
+
+    def _write_wav(self, path, freqs, seconds, seed):
+        import wave
+
+        rng = np.random.RandomState(seed)
+        t = np.arange(int(self.FS * seconds)) / self.FS
+        sig = sum(np.sin(2 * np.pi * f * t + rng.rand() * 6.28) / (i + 1)
+                  for i, f in enumerate(freqs))
+        sig += 0.05 * rng.randn(len(t))
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(self.FS)
+            w.writeframes((sig * 6000).astype(np.int16).tobytes())
+
+    def test_feature_text_and_lst_roundtrip(self, tmp_path):
+        from speaker_recognition_tpu.utils import serialization
+
+        feat = np.random.RandomState(0).randn(17, 5)
+        p = str(tmp_path / "f0")
+        serialization.write_feature_text(p, feat)
+        np.testing.assert_allclose(serialization.read_feature_text(p), feat)
+        lst = str(tmp_path / "x.lst")
+        serialization.write_lst(lst, [("spk a", p), ("b", p)])
+        assert serialization.read_lst(lst) == [("spk a", p), ("b", p)]
+
+    def test_gen_features_matches_direct_extraction(self, tmp_path, capsys):
+        from speaker_recognition_tpu.features.extract import mix_feature
+        from speaker_recognition_tpu.tools import jfa_pipeline
+        from speaker_recognition_tpu.utils import serialization
+        from speaker_recognition_tpu.utils.native_io import read_wav
+
+        (tmp_path / "spkA").mkdir()
+        for j in range(2):
+            self._write_wav(tmp_path / "spkA" / f"u{j}.wav",
+                            [230, 690, 1150], 2.0, seed=j)
+        fdir = str(tmp_path / "features")
+        jfa_pipeline.main(["gen-features", "-i", str(tmp_path / "spkA"),
+                           "-o", fdir, "--task", "enroll"])
+        assert "2 feature files + enroll.lst" in capsys.readouterr().out
+        pairs = serialization.read_lst(f"{fdir}/enroll.lst")
+        assert [p[0] for p in pairs] == ["spkA", "spkA"]
+        fs, sig = read_wav(str(tmp_path / "spkA" / "u0.wav"))
+        direct = mix_feature(fs, sig)
+        loaded = serialization.read_feature_text(pairs[0][1])
+        np.testing.assert_allclose(loaded, direct, rtol=1e-6, atol=1e-7)
+
+    def test_cli_chain_stats_train_score(self, tmp_path, capsys):
+        """stats -> train -> score through the CLI over the text formats,
+        on the same well-conditioned world as TestJfaPipeline."""
+        from speaker_recognition_tpu.tools import jfa_pipeline
+        from speaker_recognition_tpu.utils import serialization
+
+        ubm, utt = make_world()
+        ubm_np = jax.tree.map(np.asarray, ubm)
+        ubm_dir = str(tmp_path / "ubm")
+        serialization.dump_jfa_supervectors(ubm_np, ubm_dir)
+
+        fdir = tmp_path / "features"
+        fdir.mkdir()
+
+        def write_task(task, sessions):
+            pairs = []
+            for i, (label, feat) in enumerate(sessions):
+                p = str(fdir / f"{task}-{label}-{i}")
+                serialization.write_feature_text(p, feat)
+                pairs.append((label, p))
+            serialization.write_lst(str(fdir / f"{task}.lst"), pairs)
+
+        n_spk = 4
+        train_sessions = []
+        s = 0
+        for spk in range(n_spk):
+            for chan in (-1.0, 1.0):
+                for j in range(2):
+                    train_sessions.append(
+                        (f"spk{spk}", utt(spk, chan, seed=100 + s)))
+                    s += 1
+        write_task("enroll", train_sessions)
+        write_task("test", [(f"t{spk}", utt(spk, -0.8, seed=300 + spk))
+                            for spk in range(n_spk)])
+
+        jfa_pipeline.main(["stats", "--ubm-dir", ubm_dir,
+                           "--lst", str(fdir / "enroll.lst"),
+                           "-o", str(tmp_path / "enroll_stats.npz")])
+        jfa_pipeline.main(["stats", "--ubm-dir", ubm_dir,
+                           "--lst", str(fdir / "test.lst"),
+                           "-o", str(tmp_path / "test_stats.npz")])
+        jfa_pipeline.main(["train", "--ubm-dir", ubm_dir,
+                           "--stats", str(tmp_path / "enroll_stats.npz"),
+                           "-o", str(tmp_path / "jfa.npz"),
+                           "--nv", "3", "--nu", "1", "--iters", "8"])
+        capsys.readouterr()
+        jfa_pipeline.main(["score", "--ubm-dir", ubm_dir,
+                           "--model", str(tmp_path / "jfa.npz"),
+                           "--enroll-stats", str(tmp_path / "enroll_stats.npz"),
+                           "--test-stats", str(tmp_path / "test_stats.npz")])
+        lines = [l for l in capsys.readouterr().out.splitlines() if "->" in l]
+        assert len(lines) == n_spk
+        preds = [l.split("->")[1].split("(")[0].strip() for l in lines]
+        correct = sum(p == f"spk{i}" for i, p in enumerate(preds))
+        assert correct >= 3, lines
