@@ -169,10 +169,19 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         if use_packed:
             if use_pallas:
                 from ..ops import pallas_frontend
-                out = pallas_frontend.packed_from_frames(
-                    frames, D_np, W_np, dct_np, floor, A=A_np,
-                    interpret=interpret, mm_bf16=mm_dt is not None)
-                ceps, r = out if cfg.use_lpc else (out, None)
+                if cfg.use_lpc and flen == 2 * fshift \
+                        and padded_len % fshift == 0:
+                    # signal-level kernel: framing fused in (reads each
+                    # sample once instead of round-tripping the 2x frame
+                    # matrix through HBM)
+                    ceps, r = pallas_frontend.packed_from_signals(
+                        signals, fshift, D_np, W_np, dct_np, floor, A_np,
+                        interpret=interpret, mm_bf16=mm_dt is not None)
+                else:
+                    out = pallas_frontend.packed_from_frames(
+                        frames, D_np, W_np, dct_np, floor, A=A_np,
+                        interpret=interpret, mm_bf16=mm_dt is not None)
+                    ceps, r = out if cfg.use_lpc else (out, None)
             else:
                 if mm_dt is not None:
                     X = jnp.matmul(frames.astype(mm_dt), D_c.astype(mm_dt),

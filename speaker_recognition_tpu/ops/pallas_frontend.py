@@ -32,9 +32,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mfcc_from_frames", "packed_from_frames", "FRAME_TILE"]
+__all__ = ["mfcc_from_frames", "packed_from_frames", "packed_from_signals",
+           "FRAME_TILE", "UTT_TILE"]
 
-FRAME_TILE = 128
+# Frames per grid step. Swept on a v5e chip at the serving workload
+# (159k frames): 512 is the knee (0.997 ms vs 1.287 ms at 128 — deep
+# enough for MXU pipelining, small enough that the [tile, 2F] X/Y spectra
+# stay ~2 MB in VMEM); 1024+ regresses.
+FRAME_TILE = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -160,6 +165,132 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
         ),
         interpret=interpret,
     )(frames, D, W, dct_t, A)
+
+
+# Utterances per grid step of the signal-level kernel. 2 utterances of the
+# 5 s serving shape give ~640 matmul rows/step — the same knee as
+# FRAME_TILE=512.
+UTT_TILE = 2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("floor", "fshift", "interpret"))
+def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
+                        interpret: bool):
+    """Signal-level fused frontend: framing happens IN the kernel.
+
+    For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
+    32/16 ms default) frame f of an utterance is the concatenation of
+    fshift-sample rows f and f+1 of the signal, so a whole utterance's
+    frame matrix is two static slices + one concat of its [rows, fshift]
+    reshape — no gather, no HBM frame materialization. Compared to
+    packed_from_frames this reads each signal sample once (~84 MB for the
+    512x5 s serving batch) instead of writing + re-reading the 2x-larger
+    overlapped frame matrix (~330 MB round-trip), which is where the XLA
+    path is bandwidth-bound.
+
+    signals: [B, Lp] with Lp % fshift == 0, zero-padded past each
+    utterance's true length. Returns ([B, T, nceps] pre-CMVN MFCC,
+    [B, T, nac] LPC autocorrelation) with T = Lp//fshift - 1.
+    """
+    B, Lp = signals.shape
+    flen = D.shape[0]
+    assert flen == 2 * fshift and Lp % fshift == 0, (flen, fshift, Lp)
+    rows = Lp // fshift
+    T = rows - 1
+    U = UTT_TILE
+    assert B % U == 0, (B, U)
+    assert rows % 8 == 0, rows  # sublane-aligned block (LENGTH_BUCKET)
+    ncols = D.shape[1]
+    nmel = W.shape[1]
+    nceps = dct_t.shape[1]
+    nac = A.shape[1]
+    # [B, rows, fshift] view: the last two block dims are (rows, 128) —
+    # tile-aligned; the reshape is free (row-major relayout is the identity)
+    signals = signals.reshape(B, rows, fshift)
+
+    def kernel(s_ref, dt_ref, db_ref, w_ref, dct_ref, a_ref, out_ref, r_ref):
+        # Frame f = rows f and f+1 side by side, so with the DFT operator
+        # split into its first/second-half-of-frame rows,
+        #     X[f] = row_f @ D_top + row_{f+1} @ D_bot
+        # — no frame matrix is ever built. The f+1 shift is one aligned
+        # roll over the whole [U*rows, fshift] block (Mosaic cannot use a
+        # sublane-offset slice as a matmul operand); rolled-in rows from
+        # the next utterance (and the block wrap) only affect each
+        # utterance's last row, dropped by the [:T] output slice.
+        s = s_ref[:].reshape(U * rows, fshift)
+        nxt = pltpu.roll(s, U * rows - 1, 0)   # == roll(-1): row f+1 -> f
+        X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
+        Y = X * X
+        mel = jnp.dot(Y, w_ref[:], preferred_element_type=jnp.float32)
+        logmel = jnp.log(jnp.maximum(mel, floor))
+        ceps = jnp.dot(logmel, dct_ref[:],
+                       preferred_element_type=jnp.float32)
+        out_ref[:] = ceps.reshape(U, rows, nceps)[:, :T]
+        racorr = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
+        r_ref[:] = racorr.reshape(U, rows, nac)[:, :T]
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // U,),
+        in_specs=[
+            pl.BlockSpec((U, rows, fshift), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((fshift, ncols)),
+            const((fshift, ncols)),
+            const((ncols, nmel)),
+            const((nmel, nceps)),
+            const((ncols, nac)),
+        ],
+        out_specs=(
+            pl.BlockSpec((U, T, nceps), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, T, nac), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, nceps), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, nac), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * flen * ncols + 2 * ncols * (nmel + nac)
+                           + 2 * nmel * nceps),
+            bytes_accessed=B * (Lp + T * (nceps + nac)) * 4,
+            transcendentals=B * T * nmel,
+        ),
+        interpret=interpret,
+    )(signals, D[:fshift], D[fshift:], W, dct_t, A)
+
+
+def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
+                        W: np.ndarray, dct_t: np.ndarray, floor: float,
+                        A: np.ndarray, interpret: bool = False,
+                        mm_bf16: bool = False):
+    """[B, Lp] zero-padded signals -> ([B, T, nceps] pre-CMVN MFCC,
+    [B, T, nac] LPC autocorrelation), T = Lp//fshift - 1; framing fused into
+    the kernel (requires frame_len == 2*fshift). mm_bf16 feeds the DFT
+    matmul bf16 operands (f32 accumulation)."""
+    B = signals.shape[0]
+    mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    b_pad = _round_up(max(B, 1), UTT_TILE)
+    s = signals.astype(mm_dt)
+    if b_pad != B:
+        s = jnp.pad(s, ((0, b_pad - B), (0, 0)))
+
+    nmel = W.shape[1]
+    nmel_pad = _round_up(nmel, 8)
+    W_p = np.zeros((W.shape[0], nmel_pad), np.float32)
+    W_p[:, :nmel] = W
+    dct_p = np.zeros((nmel_pad, dct_t.shape[1]), np.float32)
+    dct_p[:nmel] = dct_t
+    out, r = _run_packed_signals(s, jnp.asarray(D, mm_dt), jnp.asarray(W_p),
+                                 jnp.asarray(dct_p),
+                                 jnp.asarray(A, jnp.float32), float(floor),
+                                 int(fshift), interpret)
+    return out[:B], r[:B]
 
 
 def packed_from_frames(frames: jnp.ndarray, D: np.ndarray, W: np.ndarray,

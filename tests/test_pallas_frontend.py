@@ -62,3 +62,52 @@ class TestPallasMfcc:
 
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+class TestPackedFromSignals:
+    """Signal-level kernel: framing fused in (50%-overlap row-concat)."""
+
+    def test_matches_full_extractor(self):
+        rng = np.random.RandomState(2)
+        B, L = 3, 12288
+        signals = (rng.randn(B, L) * 2000).astype(np.float32)
+        signals[1, 9000:] = 0.0
+        lengths = np.array([L, 9000, L], np.int32)
+        cfg = FeatureConfig()
+        ref_fn = extract._feature_fn(8000, cfg, L, "float32", "off", "f32",
+                                     "packed")
+        pal_fn = extract._feature_fn(8000, cfg, L, "float32", "interpret",
+                                     "f32", "packed")
+        fr, mr = ref_fn(jnp.asarray(signals), jnp.asarray(lengths))
+        fp, mp = pal_fn(jnp.asarray(signals), jnp.asarray(lengths))
+        np.testing.assert_array_equal(np.asarray(mr), np.asarray(mp))
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(fr),
+                                   rtol=2e-3, atol=2e-2)
+
+    def test_odd_batch_is_padded(self):
+        # B=1 < UTT_TILE exercises the batch padding path
+        rng = np.random.RandomState(3)
+        L = 8192
+        from speaker_recognition_tpu.config import MfccConfig as _M
+        mf = _M()
+        mel_t = frontend.mel_filterbank(8000, mf.fft_size, mf.n_filters).T
+        dct_t = frontend.dct_matrix(mf.n_filters)[1:14].T
+        D, W, A = frontend.packed_frontend_operators(
+            256, mf.fft_size, mf.pre_emph, mel_t, lpc_order=15)
+        sig = jnp.asarray((rng.randn(1, L) * 500).astype(np.float32))
+        ceps, r = pallas_frontend.packed_from_signals(
+            sig, 128, D, W, dct_t, 1e-35, A, interpret=True)
+        assert ceps.shape == (1, L // 128 - 1, 13)
+        assert r.shape == (1, L // 128 - 1, 16)
+        # against the frame-level kernel on explicitly gathered frames
+        from speaker_recognition_tpu.ops.framing import frame_signal
+        frames = frame_signal(sig, 256, 128)
+        ceps2, r2 = pallas_frontend.packed_from_frames(
+            frames, D, W, dct_t, 1e-35, A=A, interpret=True)
+        # the signal kernel accumulates the DFT as D_top/D_bot partial
+        # matmuls — a different f32 summation order than the one-matmul
+        # frame kernel, hence relative (not exact) agreement
+        np.testing.assert_allclose(np.asarray(ceps), np.asarray(ceps2),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r2),
+                                   rtol=1e-4, atol=1e-3)
