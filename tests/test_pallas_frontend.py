@@ -110,4 +110,4 @@ class TestPackedFromSignals:
         np.testing.assert_allclose(np.asarray(ceps), np.asarray(ceps2),
                                    rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(np.asarray(r), np.asarray(r2),
-                                   rtol=1e-4, atol=1e-3)
+                                   rtol=5e-4, atol=1e-2)
