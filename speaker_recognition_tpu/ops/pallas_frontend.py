@@ -174,9 +174,10 @@ UTT_TILE = 2
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("floor", "fshift", "interpret"))
+                   static_argnames=("floor", "fshift", "interpret",
+                                    "mm_bf16"))
 def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
-                        interpret: bool):
+                        interpret: bool, mm_bf16: bool = False):
     """Signal-level fused frontend: framing happens IN the kernel.
 
     For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
@@ -220,6 +221,11 @@ def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
         # utterance's last row, dropped by the [:T] output slice.
         s = s_ref[:].reshape(U * rows, fshift)
         nxt = pltpu.roll(s, U * rows - 1, 0)   # == roll(-1): row f+1 -> f
+        if mm_bf16:
+            # Mosaic's rotate only supports 32-bit data, so the roll stays
+            # f32 and the cast happens at the matmul operands.
+            s = s.astype(jnp.bfloat16)
+            nxt = nxt.astype(jnp.bfloat16)
         X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
         Y = X * X
@@ -276,7 +282,9 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
     B = signals.shape[0]
     mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
     b_pad = _round_up(max(B, 1), UTT_TILE)
-    s = signals.astype(mm_dt)
+    # signals stay f32 into the kernel (the in-kernel roll requires 32-bit
+    # data); only the matmul operands are cast when mm_bf16.
+    s = signals.astype(jnp.float32)
     if b_pad != B:
         s = jnp.pad(s, ((0, b_pad - B), (0, 0)))
 
@@ -289,7 +297,7 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
     out, r = _run_packed_signals(s, jnp.asarray(D, mm_dt), jnp.asarray(W_p),
                                  jnp.asarray(dct_p),
                                  jnp.asarray(A, jnp.float32), float(floor),
-                                 int(fshift), interpret)
+                                 int(fshift), interpret, bool(mm_bf16))
     return out[:B], r[:B]
 
 
