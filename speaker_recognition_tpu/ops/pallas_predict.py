@@ -1,0 +1,271 @@
+"""Fully fused predict: signals -> per-speaker scores in ONE Pallas kernel.
+
+The end-to-end predict pipeline (the reference's task_predict hot path,
+src/speaker-recognition.py:85-90 -> mix_feature -> GMMSet.predict_one) is,
+per utterance tile:
+
+  frame (in-kernel roll) -> packed DFT matmul -> power -> mel/log/DCT
+  -> masked CMVN -> Levinson-Durbin LPC (statically unrolled) -> feature
+  concat -> GMM bank log-densities (one matmul) -> per-speaker logsumexp
+  -> masked per-frame average  ==> scores [S]
+
+Nothing between the raw signal block and the [U, S] score tile ever touches
+HBM. The unfused XLA program materializes the spectra (~330 MB round-trip at
+the serving batch), the feature tensor, and the [B, T, S*K] joint
+log-density tensor (~84 MB) in HBM, and pays ~15 fori_loop state
+round-trips for the Levinson recursion — all of which is pure bandwidth
+waste on top of a DFT matmul that already runs at ~3/4 of the f32 compute
+roofline (experiments/bench_breakdown.py). Fusing removes every intermediate.
+
+Requires the reference's 50%-overlap geometry (frame_len == 2*fshift,
+src/feature/MFCC.py:116-118) like pallas_frontend.packed_from_signals; other
+geometries use the unfused path.
+
+Parity: same operators, same floors, same CMVN/NaN/underflow semantics as
+features/extract.py + models/gmm.py (each rule cited inline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.gmm import GmmParams
+
+__all__ = ["fused_bank_predict", "bank_score_operators", "UTT_TILE"]
+
+# Utterances per grid step (matches pallas_frontend.UTT_TILE's knee: ~640
+# matmul rows per step at the 5 s serving shape).
+UTT_TILE = 2
+
+_UNDERFLOW_LOG = -745.0  # models/gmm.py:_UNDERFLOW_LOG (gmm.cc:482-492)
+_NEG_HUGE = -1.0e30      # logw substitute for padded bank components
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def bank_score_operators(bank: GmmParams, skp: int):
+    """Fold a [S, K] GMM bank into one scoring matmul operator.
+
+    logp[t, sk] = [x^2, x] @ AB[:, sk] + c[sk]  with
+      A = -1/(2 sigma^2), B = mu/sigma^2,
+      c = -1/2 sum mu^2/sigma^2 - sum log(sqrt(2 pi) sigma) + log w
+    (models/gmm.py:log_gaussians + log_joint; gmm.cc:78-99). Padded
+    components get c = -1e30 so they vanish from every logsumexp.
+
+    Returns (AB [2d, skp], c [1, skp]) as f32 jnp arrays.
+    """
+    import math
+
+    S, K = bank.weights.shape
+    d = bank.means.shape[-1]
+    sig = bank.sigmas.reshape(S * K, d).astype(jnp.float32)
+    mu = bank.means.reshape(S * K, d).astype(jnp.float32)
+    w = bank.weights.reshape(S * K).astype(jnp.float32)
+    inv_var = 1.0 / (sig * sig)
+    A = (-0.5 * inv_var).T                               # [d, SK]
+    B = (mu * inv_var).T                                 # [d, SK]
+    c = (-0.5 * jnp.sum(mu * mu * inv_var, axis=-1)
+         - jnp.sum(0.5 * math.log(2.0 * math.pi) + jnp.log(sig), axis=-1)
+         + jnp.log(w))                                   # [SK]
+    AB = jnp.concatenate([A, B], axis=0)                 # [2d, SK]
+    pad = skp - S * K
+    if pad:
+        AB = jnp.pad(AB, ((0, 0), (0, pad)))
+        c = jnp.pad(c, (0, pad), constant_values=_NEG_HUGE)
+    return AB, c[None, :]
+
+
+def _levinson_unrolled(r: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Levinson-Durbin with the order-p recursion statically unrolled.
+
+    r: [n, order+1] -> LPC a[1..p]: [n, order]. Same math as
+    ops/levinson.levinson (talkbox semantics, src/feature/LPC.py:40-44) but
+    with compile-time indices only, so it lowers inside a Mosaic kernel
+    (no dynamic gathers). Non-finite coefficients (all-zero frames: e
+    underflows to 0 -> 0/0) are zeroed like LPC.py:56.
+    """
+    rc = [r[:, j:j + 1] for j in range(order + 1)]
+    e = rc[0]
+    a: list = []                                 # a[1..i] as [n, 1] columns
+    for i in range(1, order + 1):
+        acc = rc[i]
+        for j in range(1, i):
+            acc = acc + a[j - 1] * rc[i - j]
+        k = -acc / e
+        a = [a[j - 1] + k * a[i - j - 1] for j in range(1, i)] + [k]
+        e = e * (1.0 - k * k)
+    lpc = jnp.concatenate(a, axis=1)
+    return jnp.where(jnp.isfinite(lpc), lpc, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("floor", "fshift", "n_lpc", "S", "K", "cmvn",
+                     "interpret", "mm_bf16", "utt_tile"))
+def _run(signals, n_valid, D_top, D_bot, W, dct_t, A, AB, c,
+         floor: float, fshift: int, n_lpc: int, S: int, K: int, cmvn: bool,
+         interpret: bool, mm_bf16: bool, utt_tile: int):
+    B, Lp = signals.shape
+    assert Lp % fshift == 0
+    rows = Lp // fshift
+    T = rows - 1
+    U = utt_tile
+    assert B % U == 0 and rows % 8 == 0, (B, U, rows)
+    ncols = D_top.shape[1]
+    nmel = W.shape[1]
+    nceps = dct_t.shape[1]
+    nac = A.shape[1]
+    skp = AB.shape[1]
+    use_lpc = n_lpc > 0
+    signals = signals.reshape(B, rows, fshift)
+
+    def kernel(nv_ref, s_ref, dt_ref, db_ref, w_ref, dct_ref, a_ref,
+               ab_ref, c_ref, out_ref):
+        # --- frontend (pallas_frontend._run_packed_signals semantics) ---
+        s = s_ref[:].reshape(U * rows, fshift)
+        nxt = pltpu.roll(s, U * rows - 1, 0)     # row f+1 -> f (32-bit roll)
+        if mm_bf16:
+            s = s.astype(jnp.bfloat16)
+            nxt = nxt.astype(jnp.bfloat16)
+        X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
+        Y = X * X
+        mel = jnp.dot(Y, w_ref[:], preferred_element_type=jnp.float32)
+        logmel = jnp.log(jnp.maximum(mel, floor))       # MFCC.py:66-70 floor
+        ceps = jnp.dot(logmel, dct_ref[:],
+                       preferred_element_type=jnp.float32)  # [U*rows, nceps]
+        if use_lpc:
+            r = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
+            lpc = _levinson_unrolled(r, n_lpc)          # [U*rows, n_lpc]
+
+        # --- per-utterance: mask, CMVN, score ----------------------------
+        for u in range(U):
+            sl = slice(u * rows, (u + 1) * rows)
+            tvalid = nv_ref[pl.program_id(0) * U + u]
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            m = (t_idx < tvalid).astype(jnp.float32)    # [rows, 1]
+            cnt = tvalid.astype(jnp.float32)
+            safe = jnp.maximum(cnt, 1.0)
+            cu = ceps[sl]
+            if cmvn:
+                # masked per-utterance mean/sigma norm (MFCC.py:74-77,
+                # features/extract.masked_cmvn)
+                mu = jnp.sum(cu * m, axis=0, keepdims=True) / safe
+                var = jnp.sum((cu - mu) ** 2 * m, axis=0, keepdims=True) / safe
+                normed = (cu - mu) / jnp.sqrt(var)
+                cu = jnp.where(cnt > 1, normed, cu)
+            feat = (jnp.concatenate([cu, lpc[sl]], axis=1)
+                    if use_lpc else cu)                 # [rows, d]
+            feat = jnp.where(m > 0, feat, 0.0)
+            z = jnp.concatenate([feat * feat, feat], axis=1)  # [rows, 2d]
+            logp = (jnp.dot(z, ab_ref[:], preferred_element_type=jnp.float32)
+                    + c_ref[:])                          # [rows, skp]
+            # per-speaker logsumexp over its K components (static lane
+            # slices; padded components carry c = -1e30)
+            lls = []
+            for si in range(S):
+                blk = logp[:, si * K:(si + 1) * K]
+                mx = jnp.max(blk, axis=1, keepdims=True)
+                ll = mx + jnp.log(jnp.sum(jnp.exp(blk - mx), axis=1,
+                                          keepdims=True))
+                # linear-space underflow floor (gmm.cc:482-492 via
+                # models/gmm.py:per_frame_loglik)
+                ll = jnp.where(ll > _UNDERFLOW_LOG, ll,
+                               jnp.log(jnp.float32(1e-15)))
+                lls.append(ll)
+            llmat = jnp.concatenate(lls, axis=1)         # [rows, S]
+            score = jnp.sum(llmat * m, axis=0, keepdims=True) / safe
+            out_ref[u, :] = score[0]
+
+    # n_valid rides as a scalar-prefetch arg (full [B] array in SMEM; a
+    # rank-1 SMEM *block* of U entries is not a legal Mosaic block shape)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, nv: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
+    flen = 2 * fshift
+    d = nceps + (n_lpc if use_lpc else 0)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // U,),
+            in_specs=[
+                pl.BlockSpec((U, rows, fshift), lambda i, nv: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const((fshift, ncols)),
+                const((fshift, ncols)),
+                const((ncols, nmel)),
+                const((nmel, nceps)),
+                const((ncols, nac)),
+                const((2 * d, skp)),
+                const((1, skp)),
+            ],
+            out_specs=pl.BlockSpec((U, S), lambda i, nv: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * flen * ncols + 2 * ncols * (nmel + nac)
+                           + 2 * nmel * nceps + 2 * (2 * d) * skp),
+            bytes_accessed=B * Lp * 4 + B * S * 4,
+            transcendentals=B * T * (nmel + skp),
+        ),
+        interpret=interpret,
+    )(n_valid, signals, jnp.asarray(D_top, mm_dt), jnp.asarray(D_bot, mm_dt),
+      W, dct_t, A, AB, c)
+
+
+def fused_bank_predict(signals: jnp.ndarray, n_valid: jnp.ndarray,
+                       bank: GmmParams, fshift: int, D: np.ndarray,
+                       W: np.ndarray, dct_t: np.ndarray, floor: float,
+                       A: np.ndarray | None, cmvn: bool = True,
+                       interpret: bool = False, mm_bf16: bool = False,
+                       utt_tile: int = UTT_TILE) -> jnp.ndarray:
+    """[B, Lp] zero-padded signals + [B] valid-frame counts + [S, K] bank
+    -> [B, S] per-speaker average log-likelihood scores.
+
+    D/W/dct_t/A are the packed frontend operators
+    (ops/frontend.packed_frontend_operators); A=None disables LPC. The
+    LPCC variant (n_lpcc > 0) is not fused — callers fall back to the
+    unfused path for it.
+    """
+    B = signals.shape[0]
+    S, K = bank.weights.shape
+    n_lpc = (A.shape[1] - 1) if A is not None else 0
+    skp = _round_up(S * K, 128)
+    # pad the bank so skp = S_pad * K with whole dummy speakers, keeping the
+    # in-kernel [si*K:(si+1)*K] slices aligned to real speakers
+    s_pad = skp // K if skp % K == 0 else _round_up(skp, K) // K
+    skp = s_pad * K
+    AB, c = bank_score_operators(bank, skp)
+
+    b_pad = _round_up(max(B, 1), utt_tile)
+    s = signals.astype(jnp.float32)
+    nv = n_valid.astype(jnp.int32)
+    if b_pad != B:
+        s = jnp.pad(s, ((0, b_pad - B), (0, 0)))
+        nv = jnp.pad(nv, (0, b_pad - B))
+
+    nmel = W.shape[1]
+    nmel_pad = _round_up(nmel, 8)
+    W_p = np.zeros((W.shape[0], nmel_pad), np.float32)
+    W_p[:, :nmel] = W
+    dct_p = np.zeros((nmel_pad, dct_t.shape[1]), np.float32)
+    dct_p[:nmel] = dct_t
+    if A is None:
+        A = np.zeros((D.shape[1], 8), np.float64)
+
+    scores = _run(s, nv, D[:fshift], D[fshift:], jnp.asarray(W_p),
+                  jnp.asarray(dct_p), jnp.asarray(A, jnp.float32),
+                  AB, c, float(floor), int(fshift), int(n_lpc),
+                  int(s_pad), int(K), bool(cmvn), bool(interpret),
+                  bool(mm_bf16), int(utt_tile))
+    return scores[:B, :S]
