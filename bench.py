@@ -55,18 +55,14 @@ def main():
         sigmas=jnp.asarray((0.5 + rng.rand(S, K, d)).astype(np.float32)),
     )
 
-    def build_predict(pallas_mode, mm_dtype="f32"):
-        feature_fn = _feature_fn(fs, fcfg, padded, "float32", pallas_mode,
-                                 mm_dtype)
-
-        @jax.jit
-        def predict(signals, lengths, bw, bm, bs):
-            feats, mask = feature_fn(signals, lengths)
-            b = gmm.GmmParams(bw, bm, bs)
-            scores = jax.vmap(lambda X, m: gmm.bank_avg_loglik(b, X, m))(feats, mask)
-            return jnp.argmax(scores, axis=-1)
-
-        return predict
+    def build_predict(front, mm, scoring):
+        # the exact serving program (api/fastpath); argmax of the [B, S]
+        # score tile is a trivial host epilogue, not worth a separate
+        # compile on the remote-compile backend
+        from speaker_recognition_tpu.api import fastpath
+        return fastpath.predict_scores_fn(
+            fs, fcfg, padded, front, mm, scoring,
+            interpret=jax.default_backend() != "tpu")
 
     args = (jnp.asarray(signals), jnp.asarray(lengths),
             bank.weights, bank.means, bank.sigmas)
@@ -75,41 +71,49 @@ def main():
         # Fetch a value: forces the device queue to drain. On the axon
         # remote backend, block_until_ready returns early, so timings must
         # end with an actual value fetch.
-        return int(np.asarray(out[0]))
+        return float(np.asarray(out[0, 0]))
 
-    def measure(predict):
-        sync(predict(*args))  # warmup/compile
+    from speaker_recognition_tpu.utils import profiling
+
+    def measure(predict, name="variant"):
+        with profiling.phase_timer(f"compile:{name}"):
+            sync(predict(*args))  # warmup/compile
         t0 = time.perf_counter()
         sync(predict(*args))
         once = time.perf_counter() - t0
         iters = max(3, min(200, int(3.0 / max(once, 1e-4))))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = predict(*args)
-        sync(out)
-        elapsed = time.perf_counter() - t0
+        with profiling.phase_timer(f"measure:{name}", iters=iters, B=B):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = predict(*args)
+            sync(out)
+            elapsed = time.perf_counter() - t0
         return B * utt_seconds * iters / elapsed
 
-    # XLA packed path is the guaranteed-good baseline; the fused Pallas
-    # frontend and bf16 DFT operands are attempted on top and the best
-    # variant wins (falls back cleanly if a kernel fails to compile on this
-    # backend). Each variant is measured twice — the remote-tunnel timing
-    # jitter is large — and the max is kept.
+    # The XLA program is the guaranteed-good baseline; the fused-frontend +
+    # fused-scoring variants (api/fastpath) are attempted on top and the
+    # best variant wins (falls back cleanly if a kernel fails to compile on
+    # this backend). Each variant is measured twice — the remote-tunnel
+    # timing jitter is large — and the max is kept. Full sweep:
+    # experiments/bench_fused.py.
     results = {}
-    for name, (pallas_mode, mm) in {
-        "xla_f32": ("off", "f32"),
-        "xla_bf16": ("off", "bf16"),
-        "pallas_f32": ("on", "f32"),
+    for name, (front, mm, scoring) in {
+        "xla_f32": ("xla", "f32", "xla"),
+        "fused_f32": ("pallas", "f32", "pallas"),
+        "fused_bf16": ("pallas", "bf16", "pallas"),
     }.items():
         try:
-            predict = build_predict(pallas_mode, mm)
-            results[name] = max(measure(predict), measure(predict))
+            predict = build_predict(front, mm, scoring)
+            results[name] = max(measure(predict, name), measure(predict, name))
         except Exception as e:  # noqa: BLE001
             print(f"# variant {name} unavailable: {type(e).__name__}",
                   file=sys.stderr)
     print("# " + " ".join(f"{k}={v:.0f}" for k, v in results.items())
           + " audio-s/s", file=sys.stderr)
     value = max(results.values())
+    profiling.dump_metrics(os.path.join(
+        os.path.dirname(os.path.realpath(__file__)),
+        "experiments", "results", "bench_phases.jsonl"))
     print(json.dumps({
         "metric": "predict_audio_seconds_per_s_per_chip",
         "value": round(value, 2),

@@ -79,19 +79,32 @@ class LpcConfig:
 @dataclasses.dataclass(frozen=True)
 class FeatureConfig:
     """The combined per-frame feature = concat(MFCC, LPC),
-    src/feature/__init__.py:25-30."""
+    src/feature/__init__.py:25-30.
+
+    n_deltas adds temporal derivatives to the mixed vector with the
+    reference's diff_feature semantics (src/feature/utils.py:24-31, the
+    `diff=True` extractor option / bob's delta_win surface,
+    src/feature/BOB.py:13-18): nd=1 -> [x_{t+1}, x_{t+1}-x_t] (one leading
+    frame consumed), nd=2 additionally appends the second difference (two
+    frames consumed). 0 (the reference CLI's effective default) disables.
+    """
 
     mfcc: MfccConfig = MfccConfig()
     lpc: LpcConfig = LpcConfig()
     use_lpc: bool = True
+    n_deltas: int = 0
 
     @property
-    def dim(self) -> int:
+    def base_dim(self) -> int:
         if not self.use_lpc:
             return self.mfcc.n_ceps
         lpc_dim = (self.lpc.n_lpcc - 1 if self.lpc.n_lpcc > 0
                    else self.lpc.n_lpc)
         return self.mfcc.n_ceps + lpc_dim
+
+    @property
+    def dim(self) -> int:
+        return self.base_dim * (1 + self.n_deltas)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,6 +92,25 @@ def masked_cmvn(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(count > 1, normed, feat)
 
 
+def apply_deltas(feat: jnp.ndarray, mask: jnp.ndarray, nd: int):
+    """Reference diff_feature semantics on a masked padded batch
+    (src/feature/utils.py:24-31): nd frames are consumed from the front, so
+    the output has nd fewer rows and the valid prefix shrinks by nd (the
+    contiguous-prefix invariant the GMM init relies on is preserved)."""
+    if nd == 0:
+        return feat, mask
+    d1 = feat[..., 1:, :] - feat[..., :-1, :]
+    if nd == 1:
+        return (jnp.concatenate([feat[..., 1:, :], d1], axis=-1),
+                mask[..., 1:])
+    if nd == 2:
+        d2 = d1[..., 1:, :] - d1[..., :-1, :]
+        return (jnp.concatenate([feat[..., 2:, :], d1[..., 1:, :], d2],
+                                axis=-1),
+                mask[..., 2:])
+    raise ValueError(f"n_deltas must be 0, 1 or 2, got {nd}")
+
+
 @functools.lru_cache(maxsize=64)
 def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 pallas_mode: str | None = None,
@@ -207,6 +226,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 feat = jnp.concatenate([ceps, lpc], axis=-1)
             else:
                 feat = ceps
+            feat, mask = apply_deltas(feat, mask, cfg.n_deltas)
             return jnp.where(mask[..., None], feat, 0.0), mask
 
         wp = window_preemph(frames, flen, mf.pre_emph, mf.preemph_first)
@@ -250,6 +270,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
             feat = jnp.concatenate([ceps, lpc], axis=-1)
         else:
             feat = ceps
+        feat, mask = apply_deltas(feat, mask, cfg.n_deltas)
         return jnp.where(mask[..., None], feat, 0.0), mask
 
     return fn
@@ -294,7 +315,7 @@ def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
     feat, _ = _feature_fn(int(fs), cfg, len(padded), dtype, _pallas_mode(),
                           _frontend_matmul_dtype(), _frontend_mode())(
         jnp.asarray(padded)[None, :], jnp.asarray([len(signal)]))
-    return np.asarray(feat[0, :T])
+    return np.asarray(feat[0, :T - cfg.n_deltas])
 
 
 def mfcc_extract(fs: int, signal, cfg: MfccConfig = MfccConfig(),

@@ -92,12 +92,12 @@ class GMMSet:
             fit = jax.vmap(lambda x, m: gmm.fit_from_ubm(x, m, ubm, cfg))
             new_bank, _ = fit(Xs, masks)
         elif cfg.init_with_kmeans:
-            # k-means|| sampling is host-orchestrated, so speakers train
-            # serially on this path (init is off by default, pygmm.py:44)
+            # device-side k-means|| seeding (kmeans.kmeansii_device), so
+            # the whole bank trains in one vmapped program like the other
+            # init paths (init is off by default, pygmm.py:44)
             keys = jax.random.split(jax.random.PRNGKey(seed), S)
-            fitted = [gmm.fit_with_init(Xs[i], masks[i], cfg, keys[i])[0]
-                      for i in range(S)]
-            new_bank = gmm.stack_params(fitted)
+            fit = jax.vmap(lambda x, m, k: gmm.fit_with_init(x, m, cfg, k))
+            new_bank, _ = fit(Xs, masks, keys)
         else:
             keys = jax.random.split(jax.random.PRNGKey(seed), S)
             fit = jax.vmap(lambda x, m, k: gmm.fit(x, m, cfg, k))

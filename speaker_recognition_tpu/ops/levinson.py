@@ -96,9 +96,38 @@ def lpc_from_frames(frames: jnp.ndarray, order: int) -> jnp.ndarray:
 
 def lpc_from_autocorr(r: jnp.ndarray) -> jnp.ndarray:
     """LPC from precomputed autocorrelation [..., order+1] (the spectral
-    path: r = power @ autocorr_operator)."""
-    a, _ = levinson(r)
-    return jnp.nan_to_num(a[..., 1:], nan=0.0, posinf=0.0, neginf=0.0)
+    path: r = power @ autocorr_operator).
+
+    Uses the statically-unrolled recursion: a fori_loop carries its state
+    through HBM every one of the p iterations (~15 round-trips of the
+    [B, T, p+1] coefficient tensor — 0.69 ms at the serving batch,
+    experiments/results/r2_breakdown.jsonl), while the unrolled form is one
+    fused elementwise XLA kernel bounded by reading r and writing a once."""
+    return levinson_unrolled(r, r.shape[-1] - 1)
+
+
+def levinson_unrolled(r: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Levinson-Durbin with the order-p recursion statically unrolled.
+
+    r: [..., order+1] -> LPC a[1..p]: [..., order]. Same math as
+    `levinson` (talkbox semantics, src/feature/LPC.py:40-44) but with
+    compile-time indices only: XLA fuses the whole ~p^2/2-op chain into one
+    elementwise kernel, and the same code lowers inside Mosaic kernels
+    (no dynamic gathers). Non-finite coefficients (all-zero frames: e
+    underflows to 0 -> 0/0) are zeroed like LPC.py:56.
+    """
+    rc = [r[..., j:j + 1] for j in range(order + 1)]
+    e = rc[0]
+    a: list = []                              # a[1..i] as [..., 1] columns
+    for i in range(1, order + 1):
+        acc = rc[i]
+        for j in range(1, i):
+            acc = acc + a[j - 1] * rc[i - j]
+        k = -acc / e
+        a = [a[j - 1] + k * a[i - j - 1] for j in range(1, i)] + [k]
+        e = e * (1.0 - k * k)
+    lpc = jnp.concatenate(a, axis=-1)
+    return jnp.where(jnp.isfinite(lpc), lpc, 0.0)
 
 
 def lpcc_from_lpc(a: jnp.ndarray, n_lpcc: int) -> jnp.ndarray:

@@ -264,7 +264,11 @@ def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
         cost_estimate=pl.CostEstimate(
             flops=B * T * (2 * flen * ncols + 2 * ncols * (nmel + nac)
                            + 2 * nmel * nceps),
-            bytes_accessed=B * (Lp + T * (nceps + nac)) * 4,
+            # signals stay f32 into the kernel even under mm_bf16 (the roll
+            # is 32-bit-only); the bf16-when-mm_bf16 D operand is counted at
+            # its real width (ADVICE r1: operand-dtype-aware estimate)
+            bytes_accessed=B * (Lp + T * (nceps + nac)) * 4
+            + 2 * fshift * ncols * (2 if mm_bf16 else 4),
             transcendentals=B * T * nmel,
         ),
         interpret=interpret,

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.gmm import GmmParams
+from .levinson import levinson_unrolled as _levinson_unrolled
 
 __all__ = ["fused_bank_predict", "bank_score_operators", "UTT_TILE"]
 
@@ -81,29 +82,6 @@ def bank_score_operators(bank: GmmParams, skp: int):
         AB = jnp.pad(AB, ((0, 0), (0, pad)))
         c = jnp.pad(c, (0, pad), constant_values=_NEG_HUGE)
     return AB, c[None, :]
-
-
-def _levinson_unrolled(r: jnp.ndarray, order: int) -> jnp.ndarray:
-    """Levinson-Durbin with the order-p recursion statically unrolled.
-
-    r: [n, order+1] -> LPC a[1..p]: [n, order]. Same math as
-    ops/levinson.levinson (talkbox semantics, src/feature/LPC.py:40-44) but
-    with compile-time indices only, so it lowers inside a Mosaic kernel
-    (no dynamic gathers). Non-finite coefficients (all-zero frames: e
-    underflows to 0 -> 0/0) are zeroed like LPC.py:56.
-    """
-    rc = [r[:, j:j + 1] for j in range(order + 1)]
-    e = rc[0]
-    a: list = []                                 # a[1..i] as [n, 1] columns
-    for i in range(1, order + 1):
-        acc = rc[i]
-        for j in range(1, i):
-            acc = acc + a[j - 1] * rc[i - j]
-        k = -acc / e
-        a = [a[j - 1] + k * a[i - j - 1] for j in range(1, i)] + [k]
-        e = e * (1.0 - k * k)
-    lpc = jnp.concatenate(a, axis=1)
-    return jnp.where(jnp.isfinite(lpc), lpc, 0.0)
 
 
 @functools.partial(
@@ -183,7 +161,7 @@ def _run(signals, n_valid, D_top, D_bot, W, dct_t, A, AB, c,
                 lls.append(ll)
             llmat = jnp.concatenate(lls, axis=1)         # [rows, S]
             score = jnp.sum(llmat * m, axis=0, keepdims=True) / safe
-            out_ref[u, :] = score[0]
+            out_ref[0, u, :] = score[0]
 
     # n_valid rides as a scalar-prefetch arg (full [B] array in SMEM; a
     # rank-1 SMEM *block* of U entries is not a legal Mosaic block shape)
@@ -208,10 +186,13 @@ def _run(signals, n_valid, D_top, D_bot, W, dct_t, A, AB, c,
                 const((2 * d, skp)),
                 const((1, skp)),
             ],
-            out_specs=pl.BlockSpec((U, S), lambda i, nv: (i, 0),
+            # [n_tiles, U, S] with a (1, U, S) block: the last two block
+            # dims equal the array dims, the only tile-legal shape for a
+            # tiny [U, S] score tile; reshaped to [B, S] by the caller
+            out_specs=pl.BlockSpec((1, U, S), lambda i, nv: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B // U, U, S), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * T * (2 * flen * ncols + 2 * ncols * (nmel + nac)
                            + 2 * nmel * nceps + 2 * (2 * d) * skp),
@@ -220,7 +201,7 @@ def _run(signals, n_valid, D_top, D_bot, W, dct_t, A, AB, c,
         ),
         interpret=interpret,
     )(n_valid, signals, jnp.asarray(D_top, mm_dt), jnp.asarray(D_bot, mm_dt),
-      W, dct_t, A, AB, c)
+      W, dct_t, A, AB, c).reshape(B, S)
 
 
 def fused_bank_predict(signals: jnp.ndarray, n_valid: jnp.ndarray,

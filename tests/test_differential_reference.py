@@ -31,11 +31,16 @@ from speaker_recognition_tpu.config import GmmConfig
 from speaker_recognition_tpu.models import gmm
 from speaker_recognition_tpu.utils import serialization
 
-REF_LIB = "/tmp/refgmm/lib/pygmm.so"
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
+import refbuild
+
+REF_LIB = refbuild.ensure_refgmm() or refbuild.REFGMM_LIB
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(REF_LIB),
-    reason="reference pygmm.so not built (see module docstring)")
+    reason="reference pygmm.so not buildable (see module docstring)")
 
 
 class _Parameter(ctypes.Structure):

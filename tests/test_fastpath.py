@@ -1,0 +1,125 @@
+"""api/fastpath variant-consistency tests (interpret mode on CPU).
+
+Every (frontend, mm, scoring) variant of the serving predict program must
+produce the same scores as the reference composition extract_batch +
+models/gmm.bank_avg_loglik, with identical argmax decisions.
+"""
+
+import itertools
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speaker_recognition_tpu.api import fastpath
+from speaker_recognition_tpu.config import FeatureConfig, frame_geometry, n_frames
+from speaker_recognition_tpu.features import extract
+from speaker_recognition_tpu.models import gmm
+
+FS = 8000
+
+
+def _batch(B=6, lo=0.7, hi=1.0, seed=0, padded=8192):
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(int(lo * FS), int(hi * FS), size=B)
+    signals = np.zeros((B, padded), np.float32)
+    for i, L in enumerate(lengths):
+        signals[i, :L] = (rng.randn(L) * 3000).astype(np.float32)
+    return jnp.asarray(signals), jnp.asarray(lengths.astype(np.int32))
+
+
+def _bank(S, K, d, seed=1):
+    rng = np.random.RandomState(seed)
+    return gmm.GmmParams(
+        weights=jnp.asarray(rng.dirichlet(np.ones(K), size=S).astype(np.float32)),
+        means=jnp.asarray(rng.randn(S, K, d).astype(np.float32)),
+        sigmas=jnp.asarray((0.5 + rng.rand(S, K, d)).astype(np.float32)))
+
+
+def _want(signals, lengths, bank, fcfg):
+    feats, mask = extract._feature_fn(
+        FS, fcfg, int(signals.shape[-1]), "float32", "off", "f32")(
+            signals, lengths)
+    return np.asarray(jax.vmap(
+        lambda X, m: gmm.bank_avg_loglik(bank, X, m))(feats, mask))
+
+
+@pytest.mark.parametrize("front,mm,scoring", [
+    ("xla", "f32", "xla"),
+    ("xla", "f32", "pallas"),
+    ("pallas", "f32", "xla"),
+    ("pallas", "f32", "pallas"),
+    ("pallas", "bf16", "pallas"),
+])
+def test_variants_agree(front, mm, scoring):
+    fcfg = FeatureConfig()
+    signals, lengths = _batch()
+    bank = _bank(4, 32, fcfg.dim)
+    want = _want(signals, lengths, bank, fcfg)
+
+    fn = fastpath.predict_scores_fn(FS, fcfg, int(signals.shape[-1]),
+                                    front, mm, scoring, interpret=True)
+    got = np.asarray(fn(signals, lengths, *bank))
+    assert got.shape == want.shape
+    if mm == "bf16":
+        # bf16 DFT operands: feature-level perturbation, decision-stable
+        # on separated banks; scores stay within a loose band
+        np.testing.assert_allclose(got, want, rtol=0.2, atol=2.0)
+    else:
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_fused_scores_dispatch_contract(monkeypatch):
+    """fused_scores: None when disabled or non-f32; interpret mode engages
+    the pipeline on CPU; geometry fallback variant is the XLA program."""
+    fcfg = FeatureConfig()
+    signals, lengths = _batch(B=4)
+    bank = _bank(3, 8, fcfg.dim)
+
+    monkeypatch.setenv("SRTPU_PALLAS", "off")
+    assert fastpath.fused_scores(signals, lengths, bank, FS, fcfg) is None
+
+    monkeypatch.setenv("SRTPU_PALLAS", "interpret")
+    got = fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
+    assert got is not None
+    want = _want(signals, lengths, bank, fcfg)
+    # default TPU variant uses bf16 DFT operands -> loose band, same argmax
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.2, atol=2.0)
+    assert (np.asarray(got).argmax(-1) == want.argmax(-1)).all()
+
+    assert fastpath.fused_scores(signals, lengths, bank, FS, fcfg,
+                                 dtype="float64") is None
+
+
+def test_predict_batch_uses_fastpath(monkeypatch):
+    """ModelInterface.predict_batch returns identical labels through the
+    fused path (interpret) and the fallback path."""
+    sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
+    from test_endtoend import SPEAKER_FREQS, synth_utterance
+    from speaker_recognition_tpu.api.interface import ModelInterface
+
+    mi = ModelInterface()
+    for label in SPEAKER_FREQS:
+        mi.enroll(label, FS, synth_utterance(label, 3.0, seed=0))
+    mi.train(seed=0)
+    tests = [synth_utterance(label, 1.5, seed=9) for label in SPEAKER_FREQS]
+
+    monkeypatch.setenv("SRTPU_PALLAS", "off")
+    want = mi.predict_batch(FS, tests)
+    monkeypatch.setenv("SRTPU_PALLAS", "interpret")
+    got = mi.predict_batch(FS, tests)
+    assert got == want == list(SPEAKER_FREQS)
+
+
+def test_geometry_gate():
+    fcfg = FeatureConfig()
+    assert fastpath.fused_geometry_ok(FS, fcfg, 8192)
+    assert not fastpath.fused_geometry_ok(FS, fcfg, 8191)  # not % fshift
+    # non-50%-overlap geometry
+    from speaker_recognition_tpu.config import MfccConfig
+    bad = FeatureConfig(mfcc=MfccConfig(win_shift_ms=10), use_lpc=False)
+    assert not fastpath.fused_geometry_ok(FS, bad, 8000)

@@ -257,3 +257,46 @@ class TestLpcc:
         feat = extract.mix_feature(8000, sig, cfg, dtype="float64")
         assert feat.shape[1] == cfg.dim == 13 + 12
         assert np.isfinite(feat).all()
+
+
+FS = 8000
+
+
+class TestDeltaFeatures:
+    """Device-path delta features (FeatureConfig.n_deltas) vs the host
+    diff_feature helper / reference utils.py:24-31 semantics."""
+
+    def _sig(self, seconds=1.2, seed=0):
+        rng = np.random.RandomState(seed)
+        n = int(FS * seconds)
+        t = np.arange(n) / FS
+        return ((np.sin(2 * np.pi * 260 * t) + 0.1 * rng.randn(n))
+                * 8000).astype(np.float64)
+
+    @pytest.mark.parametrize("nd", [1, 2])
+    def test_matches_host_diff_feature(self, nd):
+        sig = self._sig()
+        base_cfg = FeatureConfig()
+        base = extract.mix_feature(FS, sig, base_cfg, dtype="float64")
+        want = extract.diff_feature(base, nd=nd)
+        cfg = FeatureConfig(n_deltas=nd)
+        got = extract.mix_feature(FS, sig, cfg, dtype="float64")
+        assert got.shape == want.shape == (base.shape[0] - nd, cfg.dim)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_batched_mask_shrinks_by_nd(self):
+        from speaker_recognition_tpu.config import frame_geometry, n_frames
+        sig = self._sig(1.0)
+        padded = np.zeros(8192, np.float32)
+        padded[: len(sig)] = sig
+        batch = jnp.asarray(padded)[None, :]
+        lengths = jnp.asarray([len(sig)])
+        cfg = FeatureConfig(n_deltas=1)
+        feats, mask = extract.extract_batch(batch, lengths, FS, cfg)
+        flen, fshift = frame_geometry(FS, 32, 16)
+        T = n_frames(len(sig), flen, fshift)
+        m = np.asarray(mask[0])
+        assert m[: T - 1].all() and not m[T - 1:].any()
+        assert feats.shape[-1] == cfg.dim
+        # padding rows zeroed
+        assert (np.asarray(feats[0])[T - 1:] == 0).all()

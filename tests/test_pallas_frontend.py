@@ -111,3 +111,10 @@ class TestPackedFromSignals:
                                    rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(np.asarray(r), np.asarray(r2),
                                    rtol=5e-4, atol=1e-2)
+        # and both against the float64 reference (ADVICE r1: an absolute
+        # f64 anchor keeps the bound tight despite the f32 order effects) —
+        # r is O(1e4) here so 1e-2 absolute is ~1e-6 relative
+        X64 = np.asarray(frames, np.float64) @ D
+        r64 = (X64 * X64) @ A
+        np.testing.assert_allclose(np.asarray(r), r64, rtol=2e-4,
+                                   atol=2e-4 * np.abs(r64).max())

