@@ -175,6 +175,49 @@ def main():
     s = measure(scalarized(cmvn_only), (ceps, mask), sync)
     add("cmvn_only", s)
 
+    # pallas signal-level frontend alone (cmvn fused, the serving path)
+    from speaker_recognition_tpu.ops import pallas_frontend
+    D2_np, W2_np, A2_np = frontend.packed_frontend_operators(
+        flen, mf.fft_size, mf.pre_emph, frontend.mel_filterbank(
+            fs, mf.fft_size, mf.n_filters).T,
+        lpc_order=lp.n_lpc, preemph_first=mf.preemph_first)
+    dct2_np = frontend.dft_power_projection  # noqa: F841 (unused)
+    dctm = frontend.dct_matrix(mf.n_filters)[1:mf.n_ceps + 1].T
+    nv = jax.block_until_ready(jnp.asarray(
+        np.full((B,), T - 1 if (padded - L) else T, np.int32)))
+    for name, bf16 in [("frontend_pl_signal_f32", False),
+                       ("frontend_pl_signal_bf16", True)]:
+        try:
+            f = lambda s, n, b=bf16: pallas_frontend.packed_from_signals(
+                s, fshift, D2_np, W2_np, dctm, 1e-35, A2_np,
+                interpret=jax.default_backend() != "tpu", mm_bf16=b,
+                n_valid=n, cmvn=True)
+            ssec = measure(scalarized(f), (sig, nv), sync)
+            add(name, ssec, dft_flops + post_flops, frontend_bytes)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} failed: {repr(e)[:160]}", file=sys.stderr)
+
+    # unrolled levinson alone (the serving path's LPC)
+    @jax.jit
+    def levinson_unrolled_only(r):
+        return levinson.levinson_unrolled(r, lp.n_lpc)
+
+    s = measure(scalarized(levinson_unrolled_only), (r_in,), sync)
+    add("levinson_unrolled_only", s)
+
+    # pallas bank scoring alone (vmapped over the batch)
+    from speaker_recognition_tpu.ops import pallas_gmm
+
+    @jax.jit
+    def score_pallas_only(f, m, bw, bm, bs):
+        b = gmm.GmmParams(bw, bm, bs)
+        return jax.vmap(lambda X, mm: pallas_gmm.bank_avg_loglik(
+            b, X, mm, interpret=jax.default_backend() != "tpu"))(f, m)
+
+    s = measure(scalarized(score_pallas_only), (feats, mask, *bank), sync)
+    add("bank_scoring_pallas_only", s,
+        2.0 * n_fr * (2 * d) * (S * K), (n_fr * d) * 4.0)
+
     # bank scoring alone
     score_flops = 2.0 * n_fr * (2 * d) * (S * K)
     score_bytes = (n_fr * d + S * K * (2 * d + 1)) * 4.0

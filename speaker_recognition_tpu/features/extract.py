@@ -185,6 +185,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         mask = frame_validity_mask(lengths, T, flen, fshift)    # [B, T]
 
         r = None
+        cmvn_done = False
         if use_packed:
             if use_pallas:
                 from ..ops import pallas_frontend
@@ -192,10 +193,15 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                         and padded_len % fshift == 0:
                     # signal-level kernel: framing fused in (reads each
                     # sample once instead of round-tripping the 2x frame
-                    # matrix through HBM)
+                    # matrix through HBM); per-utterance CMVN fused too
+                    n_valid = jnp.minimum(
+                        jnp.where(lengths >= flen,
+                                  (lengths - flen) // fshift + 1, 0), T)
                     ceps, r = pallas_frontend.packed_from_signals(
                         signals, fshift, D_np, W_np, dct_np, floor, A_np,
-                        interpret=interpret, mm_bf16=mm_dt is not None)
+                        interpret=interpret, mm_bf16=mm_dt is not None,
+                        n_valid=n_valid, cmvn=mf.cmvn)
+                    cmvn_done = mf.cmvn
                 else:
                     out = pallas_frontend.packed_from_frames(
                         frames, D_np, W_np, dct_np, floor, A=A_np,
@@ -213,7 +219,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 ceps = logmel @ dct_t
                 if cfg.use_lpc:
                     r = Y @ A_c
-            if mf.cmvn:
+            if mf.cmvn and not cmvn_done:
                 ceps = masked_cmvn(ceps, mask)
             if cfg.use_lpc:
                 if lp.n_lpcc > 0:

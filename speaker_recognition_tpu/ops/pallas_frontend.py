@@ -175,9 +175,10 @@ UTT_TILE = 2
 
 @functools.partial(jax.jit,
                    static_argnames=("floor", "fshift", "interpret",
-                                    "mm_bf16"))
-def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
-                        interpret: bool, mm_bf16: bool = False):
+                                    "mm_bf16", "cmvn"))
+def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
+                        fshift: int, interpret: bool, mm_bf16: bool = False,
+                        cmvn: bool = False):
     """Signal-level fused frontend: framing happens IN the kernel.
 
     For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
@@ -210,7 +211,8 @@ def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
     # tile-aligned; the reshape is free (row-major relayout is the identity)
     signals = signals.reshape(B, rows, fshift)
 
-    def kernel(s_ref, dt_ref, db_ref, w_ref, dct_ref, a_ref, out_ref, r_ref):
+    def kernel(nv_ref, s_ref, dt_ref, db_ref, w_ref, dct_ref, a_ref,
+               out_ref, r_ref):
         # Frame f = rows f and f+1 side by side, so with the DFT operator
         # split into its first/second-half-of-frame rows,
         #     X[f] = row_f @ D_top + row_{f+1} @ D_bot
@@ -233,29 +235,51 @@ def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
         logmel = jnp.log(jnp.maximum(mel, floor))
         ceps = jnp.dot(logmel, dct_ref[:],
                        preferred_element_type=jnp.float32)
+        if cmvn:
+            # per-utterance masked mean/sigma norm fused in (the separate
+            # XLA passes cost ~0.4 ms/batch, bench_breakdown); sublane
+            # slices of the [U*rows, nceps] matrix are tile-aligned
+            parts = []
+            for u in range(U):
+                cu = ceps[u * rows:(u + 1) * rows]
+                tvalid = nv_ref[pl.program_id(0) * U + u]
+                t_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+                m = (t_idx < tvalid).astype(jnp.float32)
+                cnt = tvalid.astype(jnp.float32)
+                safe = jnp.maximum(cnt, 1.0)
+                mu = jnp.sum(cu * m, axis=0, keepdims=True) / safe
+                var = jnp.sum((cu - mu) ** 2 * m, axis=0,
+                              keepdims=True) / safe
+                normed = (cu - mu) / jnp.sqrt(var)
+                # <=1 valid frame: identity, like MFCC.py:74-77's guard
+                parts.append(jnp.where(cnt > 1, normed, cu))
+            ceps = jnp.concatenate(parts, axis=0)
         out_ref[:] = ceps.reshape(U, rows, nceps)[:, :T]
         racorr = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
         r_ref[:] = racorr.reshape(U, rows, nac)[:, :T]
 
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    const = lambda shape: pl.BlockSpec(shape, lambda i, nv: (0, 0),
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B // U,),
-        in_specs=[
-            pl.BlockSpec((U, rows, fshift), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const((fshift, ncols)),
-            const((fshift, ncols)),
-            const((ncols, nmel)),
-            const((nmel, nceps)),
-            const((ncols, nac)),
-        ],
-        out_specs=(
-            pl.BlockSpec((U, T, nceps), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, T, nac), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // U,),
+            in_specs=[
+                pl.BlockSpec((U, rows, fshift), lambda i, nv: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const((fshift, ncols)),
+                const((fshift, ncols)),
+                const((ncols, nmel)),
+                const((nmel, nceps)),
+                const((ncols, nac)),
+            ],
+            out_specs=(
+                pl.BlockSpec((U, T, nceps), lambda i, nv: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((U, T, nac), lambda i, nv: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, nceps), jnp.float32),
@@ -272,25 +296,34 @@ def _run_packed_signals(signals, D, W, dct_t, A, floor: float, fshift: int,
             transcendentals=B * T * nmel,
         ),
         interpret=interpret,
-    )(signals, D[:fshift], D[fshift:], W, dct_t, A)
+    )(n_valid, signals, D[:fshift], D[fshift:], W, dct_t, A)
 
 
 def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                         W: np.ndarray, dct_t: np.ndarray, floor: float,
                         A: np.ndarray, interpret: bool = False,
-                        mm_bf16: bool = False):
-    """[B, Lp] zero-padded signals -> ([B, T, nceps] pre-CMVN MFCC,
+                        mm_bf16: bool = False,
+                        n_valid: jnp.ndarray | None = None,
+                        cmvn: bool = False):
+    """[B, Lp] zero-padded signals -> ([B, T, nceps] MFCC,
     [B, T, nac] LPC autocorrelation), T = Lp//fshift - 1; framing fused into
     the kernel (requires frame_len == 2*fshift). mm_bf16 feeds the DFT
-    matmul bf16 operands (f32 accumulation)."""
+    matmul bf16 operands (f32 accumulation). With cmvn=True (requires
+    n_valid, the per-utterance valid frame counts), the per-utterance
+    mean/variance normalization is fused in and the returned MFCC is
+    final; otherwise it is pre-CMVN."""
     B = signals.shape[0]
+    assert not cmvn or n_valid is not None
     mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
     b_pad = _round_up(max(B, 1), UTT_TILE)
     # signals stay f32 into the kernel (the in-kernel roll requires 32-bit
     # data); only the matmul operands are cast when mm_bf16.
     s = signals.astype(jnp.float32)
+    nv = (n_valid.astype(jnp.int32) if n_valid is not None
+          else jnp.zeros((B,), jnp.int32))
     if b_pad != B:
         s = jnp.pad(s, ((0, b_pad - B), (0, 0)))
+        nv = jnp.pad(nv, (0, b_pad - B))
 
     nmel = W.shape[1]
     nmel_pad = _round_up(nmel, 8)
@@ -298,10 +331,11 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
     W_p[:, :nmel] = W
     dct_p = np.zeros((nmel_pad, dct_t.shape[1]), np.float32)
     dct_p[:nmel] = dct_t
-    out, r = _run_packed_signals(s, jnp.asarray(D, mm_dt), jnp.asarray(W_p),
-                                 jnp.asarray(dct_p),
+    out, r = _run_packed_signals(s, nv, jnp.asarray(D, mm_dt),
+                                 jnp.asarray(W_p), jnp.asarray(dct_p),
                                  jnp.asarray(A, jnp.float32), float(floor),
-                                 int(fshift), interpret, bool(mm_bf16))
+                                 int(fshift), interpret, bool(mm_bf16),
+                                 bool(cmvn))
     return out[:B], r[:B]
 
 

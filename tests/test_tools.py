@@ -236,3 +236,43 @@ class TestCheckpointedUbm:
                            threshold=0.0, checkpoint_path=ckpt,
                            checkpoint_every=10)
         assert np.isfinite(u2.means).all()
+
+
+class TestProfiling:
+    """utils/profiling is wired into bench.py and
+    experiments/bench_breakdown.py; pin its contracts."""
+
+    def test_phase_timer_records_and_syncs(self):
+        import jax.numpy as jnp
+        from speaker_recognition_tpu.utils import profiling
+
+        n0 = len(profiling.metrics)
+        with profiling.phase_timer("test-phase", foo=1) as holder:
+            holder["sync"] = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        rec = profiling.metrics[-1]
+        assert len(profiling.metrics) == n0 + 1
+        assert rec["phase"] == "test-phase" and rec["foo"] == 1
+        assert rec["seconds"] > 0
+
+    def test_dump_metrics_jsonl(self, tmp_path):
+        import json
+        from speaker_recognition_tpu.utils import profiling
+
+        with profiling.phase_timer("dump-check"):
+            pass
+        path = str(tmp_path / "m.jsonl")
+        profiling.dump_metrics(path)
+        rows = [json.loads(l) for l in open(path)]
+        assert any(r["phase"] == "dump-check" for r in rows)
+
+    def test_roofline_bounds(self):
+        from speaker_recognition_tpu.utils import profiling
+
+        # compute-bound case: high intensity
+        r = profiling.roofline(flops=1e12, bytes_moved=1e6, seconds=0.1)
+        assert r["bound"] == "compute"
+        assert 0 < r["fraction_of_roofline"] <= 1.5
+        # memory-bound case
+        r = profiling.roofline(flops=1e6, bytes_moved=1e9, seconds=0.01)
+        assert r["bound"] == "memory"
+        assert r["intensity_flops_per_byte"] < 1
