@@ -62,13 +62,14 @@ def fused_geometry_ok(fs: int, cfg: FeatureConfig, padded_len: int) -> bool:
 @functools.lru_cache(maxsize=32)
 def predict_scores_fn(fs: int, cfg: FeatureConfig, padded_len: int,
                       frontend: str = "xla", mm: str = "f32",
-                      scoring: str = "xla", interpret: bool = False):
+                      scoring: str = "xla", interpret: bool = False,
+                      precision: str = "default"):
     """Build the jitted (signals, lengths, weights, means, sigmas) ->
     [B, S] scores program for one geometry/variant."""
     pallas_mode = ("interpret" if interpret else "on") \
         if frontend == "pallas" else "off"
     feature_fn = extract._feature_fn(fs, cfg, padded_len, "float32",
-                                     pallas_mode, mm)
+                                     pallas_mode, mm, None, precision)
 
     @jax.jit
     def predict(signals, lengths, bw, bm, bs):
@@ -80,7 +81,14 @@ def predict_scores_fn(fs: int, cfg: FeatureConfig, padded_len: int,
         return jax.vmap(lambda X, m: gmm_mod.bank_avg_loglik(bank, X, m))(
             feats, mask)
 
-    return predict
+    if precision == "default":
+        return predict
+
+    def predict_at_precision(*args):
+        with jax.default_matmul_precision(precision):
+            return predict(*args)
+
+    return predict_at_precision
 
 
 def _mode() -> str:
@@ -96,8 +104,12 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
     (experiments/results/r2_fused_tpu.jsonl): the pallas frontend with bf16
     DFT operands + pallas scoring is the fastest combination; bf16 operands
     match the precision XLA's DEFAULT matmuls already use on TPU, so the
-    numerics class is unchanged vs the XLA program.
+    numerics class is unchanged vs the XLA program. When the user raises
+    SRTPU_MATMUL_PRECISION above 'default', bf16 operands and the fused
+    kernels would defeat it — parity mode serves the XLA f32 program.
     """
+    if extract._matmul_precision() != "default":
+        return ("xla", "f32", "xla")
     if not fused_geometry_ok(fs, cfg, padded_len):
         return ("xla", "f32", "xla")
     return ("pallas", "bf16", "pallas")
@@ -119,7 +131,7 @@ def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
     padded_len = int(signals.shape[-1])
     front, mm, scoring = default_variant(fs, cfg, padded_len, interpret)
     fn = predict_scores_fn(fs, cfg, padded_len, front, mm, scoring,
-                           interpret)
+                           interpret, extract._matmul_precision())
     return fn(signals.astype(jnp.float32), lengths.astype(jnp.int32),
               bank.weights.astype(jnp.float32),
               bank.means.astype(jnp.float32),

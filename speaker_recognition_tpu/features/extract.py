@@ -60,6 +60,23 @@ def _frontend_mode() -> str:
     return os.environ.get("SRTPU_FRONTEND", "packed")
 
 
+def _matmul_precision() -> str:
+    """SRTPU_MATMUL_PRECISION=default|high|highest: f32 matmul passes on
+    the MXU (1/3/6 bf16 passes).
+
+    On TPU, XLA's DEFAULT f32 matmul is a SINGLE bf16 pass, so the
+    "f32" frontend is bf16-precision on the DFT projection. Measured on
+    the v5e chip against the float64 oracle (3 synthetic utterances,
+    median |err| on CMVN'd O(1) features): default -> 3.9e-2 MFCC /
+    3.9e-3 LPC; highest -> 2.5e-5 / 1e-6. Cost at the headline serving
+    config (B=512, 5 s utts): high -35% throughput, highest -45%.
+    Closed-set accuracy on the synthetic corpus holds at 1.0 at every
+    setting, so throughput keeps 'default'; set 'highest' when f64-scale
+    feature parity with the reference matters more than speed."""
+    import os
+    return os.environ.get("SRTPU_MATMUL_PRECISION", "default")
+
+
 def _frontend_matmul_dtype() -> str:
     """SRTPU_FRONTEND_DTYPE=bf16 feeds the DFT matmuls bf16 operands with
     f32 accumulation (~2x MXU throughput; the frontend is DFT-bound).
@@ -115,7 +132,8 @@ def apply_deltas(feat: jnp.ndarray, mask: jnp.ndarray, nd: int):
 def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                 pallas_mode: str | None = None,
                 matmul_dtype: str | None = None,
-                frontend_mode: str | None = None):
+                frontend_mode: str | None = None,
+                precision: str | None = None):
     """Build and jit the batched extractor for one static geometry."""
     if pallas_mode is None:
         pallas_mode = _pallas_mode()
@@ -123,6 +141,8 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         matmul_dtype = _frontend_matmul_dtype()
     if frontend_mode is None:
         frontend_mode = _frontend_mode()
+    if precision is None:
+        precision = _matmul_precision()
     mm_dt = jnp.bfloat16 if (matmul_dtype == "bf16"
                              and jnp.dtype(dtype) == jnp.float32) else None
     mf: MfccConfig = cfg.mfcc
@@ -186,6 +206,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
 
         r = None
         cmvn_done = False
+        lpc_done = False
         if use_packed:
             if use_pallas:
                 from ..ops import pallas_frontend
@@ -197,11 +218,15 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                     n_valid = jnp.minimum(
                         jnp.where(lengths >= flen,
                                   (lengths - flen) // fshift + 1, 0), T)
+                    # Levinson fused in-kernel unless the LPCC recursion is
+                    # requested (then the raw autocorrelation comes out)
+                    fuse_lpc = lp.n_lpcc == 0
                     ceps, r = pallas_frontend.packed_from_signals(
                         signals, fshift, D_np, W_np, dct_np, floor, A_np,
                         interpret=interpret, mm_bf16=mm_dt is not None,
-                        n_valid=n_valid, cmvn=mf.cmvn)
+                        n_valid=n_valid, cmvn=mf.cmvn, fuse_lpc=fuse_lpc)
                     cmvn_done = mf.cmvn
+                    lpc_done = fuse_lpc
                 else:
                     out = pallas_frontend.packed_from_frames(
                         frames, D_np, W_np, dct_np, floor, A=A_np,
@@ -222,7 +247,9 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
             if mf.cmvn and not cmvn_done:
                 ceps = masked_cmvn(ceps, mask)
             if cfg.use_lpc:
-                if lp.n_lpcc > 0:
+                if lpc_done:
+                    lpc = r
+                elif lp.n_lpcc > 0:
                     a, _ = levinson.levinson(r)
                     lpc = jnp.nan_to_num(
                         levinson.lpcc_from_lpc(a, lp.n_lpcc),
@@ -279,7 +306,15 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         feat, mask = apply_deltas(feat, mask, cfg.n_deltas)
         return jnp.where(mask[..., None], feat, 0.0), mask
 
-    return fn
+    if precision == "default":
+        return fn
+
+    def fn_at_precision(signals, lengths):
+        # the context governs tracing; jax includes it in the jit cache key
+        with jax.default_matmul_precision(precision):
+            return fn(signals, lengths)
+
+    return fn_at_precision
 
 
 def extract_batch(signals: jnp.ndarray, lengths: jnp.ndarray, fs: int,
@@ -287,7 +322,7 @@ def extract_batch(signals: jnp.ndarray, lengths: jnp.ndarray, fs: int,
     """Features for a zero-padded batch: [B, L] -> ([B, T, d], [B, T] mask)."""
     return _feature_fn(int(fs), cfg, int(signals.shape[-1]), dtype,
                        _pallas_mode(), _frontend_matmul_dtype(),
-                       _frontend_mode())(signals, lengths)
+                       _frontend_mode(), _matmul_precision())(signals, lengths)
 
 
 def _pad_to_bucket(signal: np.ndarray) -> np.ndarray:
@@ -319,7 +354,8 @@ def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
     else:
         padded = _pad_to_bucket(signal.astype(np.float32))
     feat, _ = _feature_fn(int(fs), cfg, len(padded), dtype, _pallas_mode(),
-                          _frontend_matmul_dtype(), _frontend_mode())(
+                          _frontend_matmul_dtype(), _frontend_mode(),
+                          _matmul_precision())(
         jnp.asarray(padded)[None, :], jnp.asarray([len(signal)]))
     return np.asarray(feat[0, :T - cfg.n_deltas])
 

@@ -173,12 +173,38 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
 UTT_TILE = 2
 
 
+def _levinson_unrolled_T(rT: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Levinson-Durbin on TRANSPOSED autocorrelation: [order+1, n] -> LPC
+    [order, n].
+
+    Same recursion as ops/levinson.levinson_unrolled, but the order axis
+    lives on SUBLANES so every one of the ~p^2/2 unrolled column ops is a
+    cheap [1, n] full-lane vector op. The [n, 1] lane-sliced form costs
+    ~50x more inside a Mosaic kernel (one mostly-empty vreg per 8 rows),
+    and running it outside in XLA on the custom-call's layout-constrained
+    output measured 50 ms/batch vs 1.5 ms for the whole frontend kernel
+    (experiments r2 bisect) — so the recursion belongs in here, transposed.
+    """
+    rc = [rT[j:j + 1, :] for j in range(order + 1)]
+    e = rc[0]
+    a: list = []
+    for i in range(1, order + 1):
+        acc = rc[i]
+        for j in range(1, i):
+            acc = acc + a[j - 1] * rc[i - j]
+        k = -acc / e
+        a = [a[j - 1] + k * a[i - j - 1] for j in range(1, i)] + [k]
+        e = e * (1.0 - k * k)
+    lpc = jnp.concatenate(a, axis=0)
+    return jnp.where(jnp.isfinite(lpc), lpc, 0.0)  # LPC.py:56
+
+
 @functools.partial(jax.jit,
                    static_argnames=("floor", "fshift", "interpret",
-                                    "mm_bf16", "cmvn"))
+                                    "mm_bf16", "cmvn", "fuse_lpc"))
 def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
                         fshift: int, interpret: bool, mm_bf16: bool = False,
-                        cmvn: bool = False):
+                        cmvn: bool = False, fuse_lpc: bool = False):
     """Signal-level fused frontend: framing happens IN the kernel.
 
     For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
@@ -207,6 +233,7 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
     nmel = W.shape[1]
     nceps = dct_t.shape[1]
     nac = A.shape[1]
+    n_out2 = (nac - 1) if fuse_lpc else nac  # LPC order vs raw acorr width
     # [B, rows, fshift] view: the last two block dims are (rows, 128) —
     # tile-aligned; the reshape is free (row-major relayout is the identity)
     signals = signals.reshape(B, rows, fshift)
@@ -256,7 +283,13 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
             ceps = jnp.concatenate(parts, axis=0)
         out_ref[:] = ceps.reshape(U, rows, nceps)[:, :T]
         racorr = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
-        r_ref[:] = racorr.reshape(U, rows, nac)[:, :T]
+        if fuse_lpc:
+            # Levinson-Durbin fused in, on the transposed autocorrelation
+            # (order axis on sublanes -> full-lane vector ops)
+            lpcT = _levinson_unrolled_T(racorr.T, nac - 1)   # [nac-1, U*rows]
+            r_ref[:] = lpcT.T.reshape(U, rows, nac - 1)[:, :T]
+        else:
+            r_ref[:] = racorr.reshape(U, rows, nac)[:, :T]
 
     const = lambda shape: pl.BlockSpec(shape, lambda i, nv: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -277,13 +310,13 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
             out_specs=(
                 pl.BlockSpec((U, T, nceps), lambda i, nv: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((U, T, nac), lambda i, nv: (i, 0, 0),
+                pl.BlockSpec((U, T, n_out2), lambda i, nv: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, nceps), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, nac), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, n_out2), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * T * (2 * flen * ncols + 2 * ncols * (nmel + nac)
@@ -304,14 +337,15 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                         A: np.ndarray, interpret: bool = False,
                         mm_bf16: bool = False,
                         n_valid: jnp.ndarray | None = None,
-                        cmvn: bool = False):
-    """[B, Lp] zero-padded signals -> ([B, T, nceps] MFCC,
-    [B, T, nac] LPC autocorrelation), T = Lp//fshift - 1; framing fused into
-    the kernel (requires frame_len == 2*fshift). mm_bf16 feeds the DFT
-    matmul bf16 operands (f32 accumulation). With cmvn=True (requires
-    n_valid, the per-utterance valid frame counts), the per-utterance
-    mean/variance normalization is fused in and the returned MFCC is
-    final; otherwise it is pre-CMVN."""
+                        cmvn: bool = False, fuse_lpc: bool = False):
+    """[B, Lp] zero-padded signals -> ([B, T, nceps] MFCC, [B, T, *] LPC),
+    T = Lp//fshift - 1; framing fused into the kernel (requires
+    frame_len == 2*fshift). mm_bf16 feeds the DFT matmul bf16 operands
+    (f32 accumulation). With cmvn=True (requires n_valid, the per-utterance
+    valid frame counts), the per-utterance mean/variance normalization is
+    fused in and the returned MFCC is final; otherwise it is pre-CMVN.
+    With fuse_lpc=True the second output is the finished [B, T, order] LPC
+    (Levinson fused in); otherwise the [B, T, order+1] autocorrelation."""
     B = signals.shape[0]
     assert not cmvn or n_valid is not None
     mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
@@ -335,7 +369,7 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                                  jnp.asarray(W_p), jnp.asarray(dct_p),
                                  jnp.asarray(A, jnp.float32), float(floor),
                                  int(fshift), interpret, bool(mm_bf16),
-                                 bool(cmvn))
+                                 bool(cmvn), bool(fuse_lpc))
     return out[:B], r[:B]
 
 

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.gmm import GmmParams
-from .levinson import levinson_unrolled as _levinson_unrolled
+from .pallas_frontend import _levinson_unrolled_T
 
 __all__ = ["fused_bank_predict", "bank_score_operators", "UTT_TILE"]
 
@@ -122,7 +122,11 @@ def _run(signals, n_valid, D_top, D_bot, W, dct_t, A, AB, c,
                        preferred_element_type=jnp.float32)  # [U*rows, nceps]
         if use_lpc:
             r = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
-            lpc = _levinson_unrolled(r, n_lpc)          # [U*rows, n_lpc]
+            # transposed recursion: order axis on sublanes, so each of the
+            # ~p^2/2 unrolled ops is a full-lane [1, U*rows] vector op (the
+            # lane-sliced form measured ~50x slower in Mosaic — see
+            # pallas_frontend._levinson_unrolled_T)
+            lpc = _levinson_unrolled_T(r.T, n_lpc).T    # [U*rows, n_lpc]
 
         # --- per-utterance: mask, CMVN, score ----------------------------
         for u in range(U):

@@ -300,3 +300,32 @@ class TestDeltaFeatures:
         assert feats.shape[-1] == cfg.dim
         # padding rows zeroed
         assert (np.asarray(feats[0])[T - 1:] == 0).all()
+
+
+class TestMatmulPrecisionKnob:
+    """SRTPU_MATMUL_PRECISION wiring (tests_tpu asserts the on-chip
+    numerics; here: the knob reaches the extractor and is harmless on a
+    backend whose f32 matmuls are already full-precision)."""
+
+    def test_highest_matches_default_on_cpu(self, monkeypatch):
+        rng = np.random.RandomState(5)
+        sig = (rng.randn(9000) * 5000).astype(np.float32)
+        padded = np.zeros(12288, np.float32)
+        padded[: len(sig)] = sig
+        batch = jnp.asarray(padded)[None, :]
+        lengths = jnp.asarray([len(sig)])
+        base, m0 = extract.extract_batch(batch, lengths, FS, FeatureConfig())
+        monkeypatch.setenv("SRTPU_MATMUL_PRECISION", "highest")
+        hi, m1 = extract.extract_batch(batch, lengths, FS, FeatureConfig())
+        assert (np.asarray(m0) == np.asarray(m1)).all()
+        np.testing.assert_allclose(np.asarray(hi), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_parity_mode_disables_fused_variant(self, monkeypatch):
+        from speaker_recognition_tpu.api import fastpath
+        fs, padded_len = FS, 40960
+        cfg = FeatureConfig()
+        assert fastpath.fused_geometry_ok(fs, cfg, padded_len)
+        monkeypatch.setenv("SRTPU_MATMUL_PRECISION", "highest")
+        assert fastpath.default_variant(fs, cfg, padded_len, False) == \
+            ("xla", "f32", "xla")

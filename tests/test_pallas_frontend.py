@@ -118,3 +118,44 @@ class TestPackedFromSignals:
         r64 = (X64 * X64) @ A
         np.testing.assert_allclose(np.asarray(r), r64, rtol=2e-4,
                                    atol=2e-4 * np.abs(r64).max())
+
+
+def test_packed_from_signals_fused_lpc_and_cmvn():
+    """fuse_lpc=True + cmvn=True: the kernel's outputs equal the unfused
+    composition (autocorr -> Levinson outside; masked CMVN outside)."""
+    rng = np.random.RandomState(11)
+    from speaker_recognition_tpu.config import MfccConfig as _M
+    from speaker_recognition_tpu.features.extract import masked_cmvn
+    from speaker_recognition_tpu.ops import levinson as lev
+    from speaker_recognition_tpu.ops.framing import frame_validity_mask
+
+    mf = _M()
+    mel_t = frontend.mel_filterbank(8000, mf.fft_size, mf.n_filters).T
+    dct_t = frontend.dct_matrix(mf.n_filters)[1:14].T
+    D, W, A = frontend.packed_frontend_operators(
+        256, mf.fft_size, mf.pre_emph, mel_t, lpc_order=15)
+    B, L = 3, 8192
+    sig = np.zeros((B, L), np.float32)
+    lengths = np.array([7000, 8192, 2000], np.int32)
+    for i, n in enumerate(lengths):
+        sig[i, :n] = (rng.randn(n) * 500).astype(np.float32)
+    sigj = jnp.asarray(sig)
+    T = L // 128 - 1
+    n_valid = jnp.minimum(jnp.where(lengths >= 256,
+                                    (lengths - 256) // 128 + 1, 0), T)
+
+    ceps_u, r = pallas_frontend.packed_from_signals(
+        sigj, 128, D, W, dct_t, 1e-35, A, interpret=True)
+    mask = frame_validity_mask(jnp.asarray(lengths), T, 256, 128)
+    want_ceps = np.asarray(masked_cmvn(ceps_u, mask))
+    want_lpc = np.asarray(lev.lpc_from_autocorr(r))
+
+    ceps_f, lpc_f = pallas_frontend.packed_from_signals(
+        sigj, 128, D, W, dct_t, 1e-35, A, interpret=True,
+        n_valid=n_valid, cmvn=True, fuse_lpc=True)
+    assert lpc_f.shape == (B, T, 15)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(ceps_f)[m], want_ceps[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpc_f)[m], want_lpc[m],
+                               rtol=2e-4, atol=2e-4)

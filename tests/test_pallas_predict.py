@@ -112,15 +112,18 @@ def test_fused_predict_bf16_close():
 
 
 def test_levinson_unrolled_matches_loop():
+    # the kernel uses the TRANSPOSED unrolled recursion (order axis on
+    # sublanes); compare against the fori_loop implementation
     rng = np.random.RandomState(3)
     frames = rng.randn(64, 256)
     r = np.asarray(levinson.autocorrelation(jnp.asarray(frames), 15))
     want = np.asarray(levinson.lpc_from_autocorr(jnp.asarray(r)))
-    got = np.asarray(pallas_predict._levinson_unrolled(
-        jnp.asarray(r, jnp.float64), 15))
+    got = np.asarray(pallas_predict._levinson_unrolled_T(
+        jnp.asarray(r, jnp.float64).T, 15)).T
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
     # all-zero frame -> zeroed coefficients, like LPC.py:56
     rz = np.zeros((1, 16))
-    gz = np.asarray(pallas_predict._levinson_unrolled(jnp.asarray(rz), 15))
+    gz = np.asarray(pallas_predict._levinson_unrolled_T(
+        jnp.asarray(rz).T, 15)).T
     assert (gz == 0).all()

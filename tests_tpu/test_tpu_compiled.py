@@ -53,28 +53,48 @@ def _padded_batch(sigs):
 
 def test_extract_batch_compiled_vs_f64_oracle():
     """The production extractor compiled on TPU vs the loop-literal f64
-    oracle: bf16-matmul-scale agreement, same shapes/masks."""
+    oracle.
+
+    At the TPU DEFAULT matmul precision (single bf16 pass) the MFCC
+    columns carry ~4e-2 median error on CMVN'd O(1) features while the
+    LPC columns stay at ~4e-3 (measured; the DFT projection dominates),
+    so the two families get separate bounds — one overall median would
+    sit exactly on the family boundary and flap. SRTPU_MATMUL_PRECISION=
+    highest must then recover f32-scale parity, proving the gap is
+    matmul precision, not a kernel bug."""
     sigs = [_speech(1.1, 0), _speech(0.8, 1, freqs=(150, 900))]
     batch, lengths = _padded_batch(sigs)
-    feats, mask = extract.extract_batch(batch, lengths, FS, FeatureConfig())
-    feats = np.asarray(feats)
-    mask = np.asarray(mask)
     fcfg = FeatureConfig()
     flen, fshift = frame_geometry(FS, 32, 16)
+    oracles = [np.concatenate([
+        oracle_mfcc(FS, s.astype(np.float64)),
+        oracle_lpc(FS, s.astype(np.float64)),
+    ], axis=1) for s in sigs]
+
+    feats, mask = extract.extract_batch(batch, lengths, FS, fcfg)
+    feats, mask = np.asarray(feats), np.asarray(mask)
     for i, s in enumerate(sigs):
         T = n_frames(len(s), flen, fshift)
         assert mask[i, :T].all() and not mask[i, T:].any()
-        want = np.concatenate([
-            oracle_mfcc(FS, s.astype(np.float64)),
-            oracle_lpc(FS, s.astype(np.float64)),
-        ], axis=1)
         got = feats[i, :T]
-        assert got.shape == want.shape
-        err = np.abs(got - want)
-        assert np.median(err) < 5e-3, np.median(err)
+        assert got.shape == oracles[i].shape
+        err = np.abs(got - oracles[i])
+        assert np.median(err[:, :13]) < FEAT_ATOL, np.median(err[:, :13])
+        assert np.median(err[:, 13:]) < 1e-2, np.median(err[:, 13:])
         assert err.max() < 12 * FEAT_ATOL, err.max()
         # correlation sanity: same feature up to precision noise
-        assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999
+        assert np.corrcoef(got.ravel(), oracles[i].ravel())[0, 1] > 0.9999
+
+    os.environ["SRTPU_MATMUL_PRECISION"] = "highest"
+    try:
+        feats_hi, _ = extract.extract_batch(batch, lengths, FS, fcfg)
+    finally:
+        del os.environ["SRTPU_MATMUL_PRECISION"]
+    feats_hi = np.asarray(feats_hi)
+    for i, s in enumerate(sigs):
+        T = n_frames(len(s), flen, fshift)
+        err = np.abs(feats_hi[i, :T] - oracles[i])
+        assert np.median(err) < 2e-4, np.median(err)
 
 
 def test_fused_predict_compiled_matches_xla_on_tpu():
