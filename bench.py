@@ -75,27 +75,35 @@ def main():
 
     from speaker_recognition_tpu.utils import profiling
 
-    def measure(predict, name="variant"):
+    def measure(predict, name="variant", n_trials=5):
+        """Variance-aware: n_trials timed trials after warmup; returns
+        (median, iqr) audio-s/s. Single-trial numbers on this tunnel swing
+        up to 18x (VERDICT r2 weak 1) — never record one."""
         with profiling.phase_timer(f"compile:{name}"):
             sync(predict(*args))  # warmup/compile
         t0 = time.perf_counter()
         sync(predict(*args))
         once = time.perf_counter() - t0
-        iters = max(3, min(200, int(3.0 / max(once, 1e-4))))
-        with profiling.phase_timer(f"measure:{name}", iters=iters, B=B):
+        iters = max(3, min(200, int(1.0 / max(once, 1e-4))))
+        trials = []
+        for _ in range(n_trials):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = predict(*args)
             sync(out)
             elapsed = time.perf_counter() - t0
-        return B * utt_seconds * iters / elapsed
+            trials.append(B * utt_seconds * iters / elapsed)
+        med = float(np.median(trials))
+        iqr = float(np.percentile(trials, 75) - np.percentile(trials, 25))
+        profiling.record_metric(f"measure:{name}", iters=iters, B=B,
+                                median_audio_s_per_s=med, iqr=iqr,
+                                trials=[round(t, 1) for t in trials])
+        return med, iqr
 
     # The XLA program is the guaranteed-good baseline; the fused-frontend +
     # fused-scoring variants (api/fastpath) are attempted on top and the
-    # best variant wins (falls back cleanly if a kernel fails to compile on
-    # this backend). Each variant is measured twice — the remote-tunnel
-    # timing jitter is large — and the max is kept. Full sweep:
-    # experiments/bench_fused.py.
+    # best median wins (falls back cleanly if a kernel fails to compile on
+    # this backend). Full sweep: experiments/bench_fused.py.
     results = {}
     for name, (front, mm, scoring) in {
         "xla_f32": ("xla", "f32", "xla"),
@@ -104,16 +112,20 @@ def main():
     }.items():
         try:
             predict = build_predict(front, mm, scoring)
-            results[name] = max(measure(predict, name), measure(predict, name))
+            results[name] = measure(predict, name)
         except Exception as e:  # noqa: BLE001
             print(f"# variant {name} unavailable: {type(e).__name__}",
                   file=sys.stderr)
-    print("# " + " ".join(f"{k}={v:.0f}" for k, v in results.items())
+    print("# " + " ".join(f"{k}={v[0]:.0f}(iqr {v[1]:.0f})"
+                          for k, v in results.items())
           + " audio-s/s", file=sys.stderr)
-    value = max(results.values())
+    value = max(v[0] for v in results.values())
+    # Phase metrics go to an UNCOMMITTED run-local file (ADVICE r2: bench
+    # runs must not mutate checked-in artifacts); curated results are
+    # committed explicitly from experiments/ scripts.
     profiling.dump_metrics(os.path.join(
         os.path.dirname(os.path.realpath(__file__)),
-        "experiments", "results", "bench_phases.jsonl"))
+        "experiments", "results", "local", "bench_phases.jsonl"))
     print(json.dumps({
         "metric": "predict_audio_seconds_per_s_per_chip",
         "value": round(value, 2),

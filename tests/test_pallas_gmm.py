@@ -58,3 +58,70 @@ class TestPallasBankScores:
             out = int(jnp.argmax(pallas_gmm.bank_avg_loglik(bank, X, mask,
                                                             interpret=True)))
             assert ref == out
+
+
+class TestWideBatchScoring:
+    """The wide batch-level scoring programs (VERDICT r2 weak 6): all
+    utterances' frames in the matmul M dimension, all (speaker, component)
+    pairs in N. Both the XLA and the Pallas variant must equal the
+    per-utterance vmapped reference."""
+
+    def _batch(self, B=5, T=200, d=28, seed=7):
+        rng = np.random.RandomState(seed)
+        feats = jnp.asarray(rng.randn(B, T, d), jnp.float32)
+        lengths = rng.randint(2, T + 1, size=B)
+        lengths[0] = T
+        mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
+        return feats, mask
+
+    def test_xla_wide_matches_vmapped(self):
+        import jax
+        bank = make_bank()
+        feats, mask = self._batch()
+        ref = jax.vmap(lambda X, m: gmm.bank_avg_loglik(bank, X, m))(
+            feats, mask)
+        out = gmm.batch_bank_avg_loglik(bank, feats, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pallas_wide_matches_vmapped(self):
+        import jax
+        bank = make_bank(S=6, K=16, d=12, seed=8)
+        feats, mask = self._batch(B=4, T=150, d=12, seed=9)
+        ref = jax.vmap(lambda X, m: gmm.bank_avg_loglik(bank, X, m))(
+            feats, mask)
+        out = pallas_gmm.batch_bank_avg_loglik(bank, feats, mask,
+                                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pallas_wide_zero_length_utterance(self):
+        # an all-masked utterance averages to 0.0 (n floored at 1), like
+        # the unfused path; frame tiles span utterance boundaries here
+        bank = make_bank(S=2, K=8, d=6, seed=10)
+        rng = np.random.RandomState(11)
+        feats = jnp.asarray(rng.randn(3, 70, 6), jnp.float32)
+        mask = jnp.asarray(np.stack([np.ones(70, bool),
+                                     np.zeros(70, bool),
+                                     np.arange(70) < 7]))
+        out = np.asarray(pallas_gmm.batch_bank_avg_loglik(
+            bank, feats, mask, interpret=True))
+        assert np.all(out[1] == 0.0)
+        import jax
+        ref = np.asarray(jax.vmap(
+            lambda X, m: gmm.bank_avg_loglik(bank, X, m))(feats, mask))
+        np.testing.assert_allclose(out[[0, 2]], ref[[0, 2]],
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_xla_wide_underflow_floor(self):
+        # a frame far from every component underflows the linear sum ->
+        # the reference's 1e-15 floor engages identically in both paths
+        import jax
+        bank = make_bank(S=2, K=4, d=4, seed=12)
+        feats = jnp.asarray(np.full((1, 8, 4), 80.0), jnp.float32)
+        mask = jnp.ones((1, 8), bool)
+        ref = jax.vmap(lambda X, m: gmm.bank_avg_loglik(bank, X, m))(
+            feats, mask)
+        out = gmm.batch_bank_avg_loglik(bank, feats, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6)

@@ -53,15 +53,26 @@ def _padded_batch(sigs):
 
 def test_extract_batch_compiled_vs_f64_oracle():
     """The production extractor compiled on TPU vs the loop-literal f64
-    oracle.
+    oracle, with a MEASURED per-stage error budget (r3 bisect,
+    experiments/diag_tpu_drift.py).
 
-    At the TPU DEFAULT matmul precision (single bf16 pass) the MFCC
-    columns carry ~4e-2 median error on CMVN'd O(1) features while the
-    LPC columns stay at ~4e-3 (measured; the DFT projection dominates),
-    so the two families get separate bounds — one overall median would
-    sit exactly on the family boundary and flap. SRTPU_MATMUL_PRECISION=
-    highest must then recover f32-scale parity, proving the gap is
-    matmul precision, not a kernel bug."""
+    Error attribution on this chip (two utterances, default precision):
+      pallas fused kernel vs XLA packed program : max |err| 1.2e-6  -> the
+        kernel (incl. fused CMVN + transposed Levinson) adds NOTHING; the
+        tight cross-check lives in
+        test_packed_frontend_kernel_compiled_vs_xla.
+      XLA default vs XLA highest                : the ENTIRE gap. XLA's
+        DEFAULT f32 matmul on TPU is a single bf16 pass (~2^-9 unit
+        roundoff); through power->log->CMVN (which rescales every column
+        to unit variance) that lands at median ~3.7e-2 / p99 ~0.17 on the
+        MFCC columns, median ~2.6e-3 on LPC, and whole-matrix corr
+        0.9982-0.9984. A 0.9999 corr gate is NOT achievable at default
+        precision — r2 shipped that gate and it failed on-chip.
+    Budgeted gates below: default-precision corr > 0.9975 (measured
+    0.99821/0.99844 minus margin), families bounded at their measured
+    scales; then SRTPU_MATMUL_PRECISION=highest must recover corr >
+    0.999999 and median < 2e-4 (measured 2.4e-5), proving the default-
+    precision gap is matmul precision, not a kernel bug."""
     sigs = [_speech(1.1, 0), _speech(0.8, 1, freqs=(150, 900))]
     batch, lengths = _padded_batch(sigs)
     fcfg = FeatureConfig()
@@ -82,8 +93,8 @@ def test_extract_batch_compiled_vs_f64_oracle():
         assert np.median(err[:, :13]) < FEAT_ATOL, np.median(err[:, :13])
         assert np.median(err[:, 13:]) < 1e-2, np.median(err[:, 13:])
         assert err.max() < 12 * FEAT_ATOL, err.max()
-        # correlation sanity: same feature up to precision noise
-        assert np.corrcoef(got.ravel(), oracles[i].ravel())[0, 1] > 0.9999
+        # whole-matrix correlation at the budgeted default-precision level
+        assert np.corrcoef(got.ravel(), oracles[i].ravel())[0, 1] > 0.9975
 
     os.environ["SRTPU_MATMUL_PRECISION"] = "highest"
     try:
@@ -93,8 +104,12 @@ def test_extract_batch_compiled_vs_f64_oracle():
     feats_hi = np.asarray(feats_hi)
     for i, s in enumerate(sigs):
         T = n_frames(len(s), flen, fshift)
-        err = np.abs(feats_hi[i, :T] - oracles[i])
+        got = feats_hi[i, :T]
+        err = np.abs(got - oracles[i])
         assert np.median(err) < 2e-4, np.median(err)
+        # precision attribution: highest recovers f64-class correlation,
+        # so the default-precision corr gap is matmul precision only
+        assert np.corrcoef(got.ravel(), oracles[i].ravel())[0, 1] > 0.999999
 
 
 def test_fused_predict_compiled_matches_xla_on_tpu():
@@ -126,8 +141,13 @@ def test_fused_predict_compiled_matches_xla_on_tpu():
 
 
 def test_packed_frontend_kernel_compiled_vs_xla():
-    """pallas_frontend packed kernels compiled on the chip vs the XLA packed
-    path (same operators, same precision class)."""
+    """THE kernel-bug detector: the compiled pallas signal-level kernel
+    (fused framing + CMVN + transposed Levinson) vs the XLA packed program,
+    same operators, same precision class. Measured on this chip: max |err|
+    1.2e-6 over CMVN'd features (experiments/diag_tpu_drift.py) — both run
+    the same single-bf16-pass matmuls, so any layout/fusion bug shows up
+    far above the 1e-4 gate long before it could move the f64-oracle
+    medians."""
     fcfg = FeatureConfig()
     sigs = [_speech(1.0, 20), _speech(1.0, 21)]
     batch, lengths = _padded_batch(sigs)
@@ -140,8 +160,8 @@ def test_packed_frontend_kernel_compiled_vs_xla():
     assert (np.asarray(m1) == np.asarray(m2)).all()
     got, want = np.asarray(got), np.asarray(want)
     err = np.abs(got - want)[np.asarray(m1)]
-    assert np.median(err) < 5e-3
-    assert err.max() < 12 * FEAT_ATOL
+    assert np.median(err) < 1e-5, np.median(err)
+    assert err.max() < 1e-4, err.max()
 
 
 def test_enroll_predict_end_to_end_on_tpu():
