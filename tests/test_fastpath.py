@@ -49,10 +49,14 @@ def _want(signals, lengths, bank, fcfg):
 
 @pytest.mark.parametrize("front,mm,scoring", [
     ("xla", "f32", "xla"),
+    ("xla", "f32", "xla_wide"),
     ("xla", "f32", "pallas"),
+    ("xla", "f32", "pallas_wide"),
     ("pallas", "f32", "xla"),
     ("pallas", "f32", "pallas"),
+    ("pallas", "f32", "pallas_wide"),
     ("pallas", "bf16", "pallas"),
+    ("pallas", "bf16", "pallas_wide"),
 ])
 def test_variants_agree(front, mm, scoring):
     fcfg = FeatureConfig()
@@ -87,12 +91,38 @@ def test_fused_scores_dispatch_contract(monkeypatch):
     got = fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
     assert got is not None
     want = _want(signals, lengths, bank, fcfg)
-    # default TPU variant uses bf16 DFT operands -> loose band, same argmax
-    np.testing.assert_allclose(np.asarray(got), want, rtol=0.2, atol=2.0)
+    # the r3 measured dispatch serves f32 operands everywhere (bf16 never
+    # beat f32 beyond the recorded IQR) -> tight band, identical argmax
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
     assert (np.asarray(got).argmax(-1) == want.argmax(-1)).all()
 
     assert fastpath.fused_scores(signals, lengths, bank, FS, fcfg,
                                  dtype="float64") is None
+
+
+def test_measured_dispatch_table_wellformed(monkeypatch):
+    """Dispatch-table invariants: every entry is a valid variant; a pallas
+    frontend is never dispatched to a geometry it cannot express; raising
+    the matmul precision serves the bit-compatible XLA parity program.
+    (The speed side — chosen variant >= the XLA floor at every swept
+    geometry — is asserted on the chip in tests_tpu/test_tpu_dispatch.py
+    against experiments/results/r3_geometry_sweep.jsonl.)"""
+    fronts, mms = {"xla", "pallas"}, {"f32", "bf16"}
+    scorings = {"xla", "xla_wide", "pallas", "pallas_wide"}
+    for key, (front, mm, scoring) in fastpath._MEASURED_DISPATCH.items():
+        assert front in fronts and mm in mms and scoring in scorings, key
+    assert fastpath._FLOOR_VARIANT[0] == "xla"
+
+    fcfg = FeatureConfig()
+    deltas = FeatureConfig(mfcc=fcfg.mfcc, lpc=fcfg.lpc, n_deltas=2)
+    mfcc_only = FeatureConfig(mfcc=fcfg.mfcc, use_lpc=False)
+    for cfg, padded in [(deltas, 8192), (mfcc_only, 8192), (fcfg, 8191)]:
+        variant = fastpath.default_variant(FS, cfg, padded, False)
+        assert variant[0] == "xla", (cfg, variant)
+
+    monkeypatch.setenv("SRTPU_MATMUL_PRECISION", "highest")
+    assert fastpath.default_variant(FS, fcfg, 8192, False) == \
+        ("xla", "f32", "xla")
 
 
 def test_predict_batch_uses_fastpath(monkeypatch):

@@ -1,13 +1,29 @@
 """Independent float64 LTSD oracle vs the vectorized vad/ltsd.py.
 
 pyssp (the package the reference delegates its LTSD computation to,
-src/filters/ltsd.py:36-38) is not installable in this offline environment,
-so exact pyssp interval parity cannot be pinned here. This module instead
-closes the vectorization-bug loophole: a deliberately loop-literal float64
-implementation of the LTSD definition (Ramirez et al. 2004 — the algorithm
-pyssp implements, with the reference's framing/threshold conventions) is
-compared frame-by-frame against the batched/jitted implementation, plus
-property tests of the interval algebra (SURVEY.md section 4(e)).
+src/filters/ltsd.py:36-38) is not vendorable in this environment — it is
+not on disk anywhere (verified: find / -path '*pyssp*') and the sandbox
+has no network — so literal pyssp-code parity cannot be pinned. The
+conventions are instead fixed from three independent sources and encoded
+here (VERDICT r2 missing 3):
+
+  * the reference's own call-site contract (src/filters/ltsd.py):
+    windownum = len//(ws/2) - 1 framing with hop ws/2 (the interval
+    arithmetic at :56-57 assumes it), compute_with_noise -> (res, ltsds),
+    lambda0/lambda1 passed into segmentation, compute_with_noise(noise,
+    noise) well-defined for calibration (:37-38);
+  * pyssp's public API: the noise reference is
+    `compute_noise_avg_spectrum` — the per-bin MEAN amplitude over the
+    noise clip's frames, squared at use (r1-r2 used a per-bin max — a
+    silently divergent convention, fixed in r3);
+  * Ramirez et al. 2004 (the paper pyssp implements): LTSD_N(l) =
+    10 log10(1/NFFT * sum_k LTSE^2(k,l)/N^2(k)), N(k) the average noise
+    spectrum magnitude; frames without full +-order context undefined.
+
+This module closes the vectorization-bug loophole with a deliberately
+loop-literal float64 implementation of that definition, compared
+frame-by-frame against the batched/jitted implementation, plus property
+tests of the interval algebra (SURVEY.md section 4(e)).
 """
 
 import numpy as np
@@ -19,9 +35,10 @@ FS = 8000
 
 def oracle_ltsd_scores(signal, noise_signal, window_size, order=5):
     """Loop-literal f64 LTSD: frame (hop ws/2, windownum = len//hop - 1),
-    Hanning window, one-sided |FFT|, per-bin max noise profile, +-order
-    LTSE max, 10*log10(full-spectrum mean of LTSE^2/N^2); frames without
-    full long-term context score 0."""
+    Hanning window, one-sided |FFT|, per-bin AVERAGE noise profile
+    (pyssp's compute_noise_avg_spectrum / Ramirez N(k)), +-order LTSE max,
+    10*log10(full-spectrum mean of LTSE^2/N^2); frames without full
+    long-term context score 0."""
     hop = window_size // 2
     win = np.hanning(window_size)
 
@@ -34,7 +51,7 @@ def oracle_ltsd_scores(signal, noise_signal, window_size, order=5):
         fr = frames_of(x)
         return np.abs(np.fft.rfft(fr * win, axis=-1))
 
-    noise = amps_of(noise_signal).max(axis=0)
+    noise = amps_of(noise_signal).mean(axis=0)
     amps = amps_of(signal)
     T, nb = amps.shape
     scores = np.zeros(T)

@@ -1,0 +1,31 @@
+"""Multi-process (2-process) jax.distributed cluster on the CPU backend.
+
+The first real exercise of parallel/multihost.initialize (VERDICT r2
+missing 4 / item 7): two OS processes form a cluster over a localhost
+coordinator (gloo collectives = the DCN stand-in), run the GSPMD sharded
+EM fit and cross-process bank scoring, and must agree with the 1-process
+run on the same data. Runs the experiments/multiproc_cluster.py launcher
+end-to-end in subprocesses (each with its own env, independent of this
+suite's in-process jax config).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    result = str(tmp_path / "cluster.npz")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "experiments", "multiproc_cluster.py"),
+         "--frames", "8192", "--iters", "3", "--result", result],
+        capture_output=True, text=True, timeout=900, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-3000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["processes"] == 2
+    assert row["numerics_match"] is True
+    assert row["em_strong_scaling_efficiency"] > 0
