@@ -100,15 +100,22 @@ def main():
                                 trials=[round(t, 1) for t in trials])
         return med, iqr
 
-    # The XLA program is the guaranteed-good baseline; the fused-frontend +
-    # fused-scoring variants (api/fastpath) are attempted on top and the
-    # best median wins (falls back cleanly if a kernel fails to compile on
-    # this backend). Full sweep: experiments/bench_fused.py.
+    # The XLA program is the guaranteed-good floor; the fused variants
+    # (api/fastpath) are attempted on top and the best median wins (falls
+    # back cleanly if a kernel fails to compile on this backend).
+    # "dispatch" is what production serving actually picks for this
+    # geometry (fastpath._MEASURED_DISPATCH, from the r3 per-geometry
+    # sweep). Full sweep: experiments/bench_geometry.py.
+    from speaker_recognition_tpu.api import fastpath as _fp
+    dispatch_variant = _fp.default_variant(
+        fs, fcfg, padded, jax.default_backend() != "tpu",
+        n_speakers=S, n_mixtures=K)
     results = {}
     for name, (front, mm, scoring) in {
         "xla_f32": ("xla", "f32", "xla"),
+        "xla_f32_wide": ("xla", "f32", "xla_wide"),
         "fused_f32": ("pallas", "f32", "pallas"),
-        "fused_bf16": ("pallas", "bf16", "pallas"),
+        "dispatch_" + "_".join(dispatch_variant): dispatch_variant,
     }.items():
         try:
             predict = build_predict(front, mm, scoring)

@@ -10,7 +10,7 @@ claims are falsifiable.
 
 Part B (precision table): the SAME trial re-run under every precision knob
 the serving path exposes — SRTPU_MATMUL_PRECISION default/high/highest,
-SRTPU_FRONTEND_DTYPE f32/bf16, SRTPU_PALLAS auto/off — recorded as
+SRTPU_PALLAS auto/off — recorded as
 accuracy deltas. Run Part B on the TPU backend: the knobs only change
 numerics there (CPU f32 matmuls are true f32 at every setting).
 
@@ -95,11 +95,9 @@ def main():
             ("default", {}),
             ("precision_high", {"SRTPU_MATMUL_PRECISION": "high"}),
             ("precision_highest", {"SRTPU_MATMUL_PRECISION": "highest"}),
-            ("frontend_bf16", {"SRTPU_FRONTEND_DTYPE": "bf16"}),
             ("pallas_off", {"SRTPU_PALLAS": "off"}),
         ]
-        KEYS = ["SRTPU_MATMUL_PRECISION", "SRTPU_FRONTEND_DTYPE",
-                "SRTPU_PALLAS"]
+        KEYS = ["SRTPU_MATMUL_PRECISION", "SRTPU_PALLAS"]
         n, test_s = min(20, len(samples)), 3.0
         for name, env in KNOBS:
             saved = {k: os.environ.get(k) for k in KEYS}

@@ -50,12 +50,15 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(fn())[0])
         once = time.perf_counter() - t0
-        reps = max(3, min(500, int(2.0 / max(once, 1e-4))))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        float(np.asarray(out)[0])
-        return (time.perf_counter() - t0) / reps
+        reps = max(3, min(500, int(1.0 / max(once, 1e-4))))
+        ts = []
+        for _ in range(5):  # median of 5 trials (r3 variance methodology)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            float(np.asarray(out)[0])
+            ts.append((time.perf_counter() - t0) / reps)
+        return float(np.median(ts))
 
     for S in args.sizes:
         w = rng.rand(S, K) + 0.1

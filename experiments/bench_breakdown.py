@@ -244,6 +244,26 @@ def main():
     s, iqr = measure(score_only, (feats, mask, *bank), sync)
     add("bank_scoring_only", s, score_flops, score_bytes, iqr=iqr)
 
+    # WIDE bank scoring (r3): all B*T frames in the matmul M dimension
+    # instead of B narrow [T, d] x [d, S*K] products (VERDICT r2 weak 6:
+    # the vmapped form ran at ~8% of even the understated roofline)
+    @jax.jit
+    def score_wide_xla(f, m, bw, bm, bs):
+        b = gmm.GmmParams(bw, bm, bs)
+        return jnp.argmax(gmm.batch_bank_avg_loglik(b, f, m), axis=-1)
+
+    s, iqr = measure(score_wide_xla, (feats, mask, *bank), sync)
+    add("bank_scoring_wide_xla", s, score_flops, score_bytes, iqr=iqr)
+
+    @jax.jit
+    def score_wide_pallas(f, m, bw, bm, bs):
+        b = gmm.GmmParams(bw, bm, bs)
+        return jnp.argmax(pallas_gmm.batch_bank_avg_loglik(
+            b, f, m, interpret=jax.default_backend() != "tpu"), axis=-1)
+
+    s, iqr = measure(score_wide_pallas, (feats, mask, *bank), sync)
+    add("bank_scoring_wide_pallas", s, score_flops, score_bytes, iqr=iqr)
+
     # --- full predict programs -------------------------------------------
     import bench
 

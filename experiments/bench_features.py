@@ -45,12 +45,15 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(red(signals, lengths)))
         once = time.perf_counter() - t0
-        reps = max(3, min(300, int(3.0 / max(once, 1e-4))))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = red(signals, lengths)
-        float(np.asarray(out))
-        return B * sec * reps / (time.perf_counter() - t0)
+        reps = max(3, min(300, int(1.0 / max(once, 1e-4))))
+        ts = []
+        for _ in range(5):  # median of 5 trials (r3 variance methodology)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = red(signals, lengths)
+            float(np.asarray(out))
+            ts.append(time.perf_counter() - t0)
+        return B * sec * reps / float(np.median(ts))
 
     for name, (cfg, mode) in variants.items():
         try:

@@ -81,6 +81,16 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     rows = []
+    outpath = None
+    if args.out:
+        outpath = args.out if os.path.isabs(args.out) else os.path.join(
+            os.path.dirname(os.path.realpath(__file__)), args.out)
+
+    def persist(row):
+        rows.append(row)
+        if outpath:
+            with open(outpath, "a") as f:
+                f.write(json.dumps({"ts": time.time(), **row}) + "\n")
 
     def sync(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
@@ -114,7 +124,10 @@ def main():
         print(f"== {geom_name}: B={B} S={S} K={K} padded={padded} "
               f"fused_geom={'ok' if fused_ok else 'NO'} ==", flush=True)
         for front in fronts:
-            for mm in (["f32", "bf16"] if front == "pallas" else ["f32"]):
+            mms = ["f32"]
+            if front == "pallas" and geom_name == "headline":
+                mms.append("bf16")
+            for mm in mms:
                 for scoring in ["xla", "xla_wide", "pallas", "pallas_wide"]:
                     name = f"{front}_{mm}_{scoring}"
                     try:
@@ -125,7 +138,7 @@ def main():
                         print(f"# {name} failed: {repr(e)[:160]}",
                               file=sys.stderr, flush=True)
                         continue
-                    rows.append({
+                    persist({
                         "geometry": geom_name, "variant": name,
                         "seconds_per_batch": med, "iqr_seconds": iqr,
                         "audio_s_per_s": round(audio / med, 1),
@@ -150,17 +163,11 @@ def main():
                 fl["seconds_per_batch"] + fl["iqr_seconds"] else "SLOWER"
             print(f"  dispatch -> {chosen_name}  vs floor {floor_name}: "
                   f"{verdict}", flush=True)
-            rows.append({"geometry": geom_name, "dispatch": chosen_name,
-                         "floor": floor_name, "verdict": verdict})
+            persist({"geometry": geom_name, "dispatch": chosen_name,
+                     "floor": floor_name, "verdict": verdict})
 
-    if args.out:
-        path = args.out if os.path.isabs(args.out) else os.path.join(
-            os.path.dirname(os.path.realpath(__file__)), args.out)
-        ts = time.time()
-        with open(path, "a") as f:
-            for row in rows:
-                f.write(json.dumps({"ts": ts, **row}) + "\n")
-        print(f"# wrote {len(rows)} rows to {path}", file=sys.stderr)
+    if outpath:
+        print(f"# wrote {len(rows)} rows to {outpath}", file=sys.stderr)
 
 
 if __name__ == "__main__":

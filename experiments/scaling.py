@@ -13,6 +13,13 @@ environment, so the recorded curve combines:
     per-device workload (weak-scaling shape) — the same programs a pod
     slice would run, per SURVEY.md section 4(d).
 
+CAVEAT (recorded with the r2 rows, analyzed in results/r3_notes.md): this
+host has 2 physical cores, so virtual-mesh rows beyond 2 devices are
+core-OVERSUBSCRIBED — their throughput is non-monotone in device count by
+construction and must not be read as scaling efficiency. The 2-process
+cluster harness (experiments/multiproc_cluster.py) is the honest
+multi-host datapoint this environment can produce.
+
 Usage:
   python experiments/scaling.py --out results/r2_scaling.jsonl
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

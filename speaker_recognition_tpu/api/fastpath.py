@@ -110,24 +110,34 @@ def _mode() -> str:
     return os.environ.get("SRTPU_PALLAS", "auto")
 
 
-# Measured dispatch table (experiments/bench_fused.py --geometries, v5e,
-# median of >=5 trials; artifact: experiments/results/r3_geometry_sweep.jsonl).
+# Measured dispatch table (experiments/bench_geometry.py on v5e, median of
+# >=5 trials per row; artifact: experiments/results/r3_geometry_sweep.jsonl).
 # Keyed on the geometry class; values are (frontend, mm, scoring).
-# Populated from the r3 sweep — every entry must beat the ("xla","f32",
-# "xla_wide") floor at its geometry by more than the recorded IQR, or the
-# floor is kept (tests/test_fastpath.py asserts the floor rule; the TPU
-# sweep artifact carries the margins).
+# Rules encoded by the data (tests_tpu/test_tpu_dispatch.py re-checks the
+# table against the artifact):
+#   * every entry ties or beats the pure-XLA floor at every swept geometry
+#     of its class (slack = one recorded IQR), and is within one IQR of the
+#     fastest measured variant there;
+#   * bf16 operands never beat f32 beyond the IQR (headline: 2.037 vs
+#     2.028 ms) -> f32 everywhere (round 1's "prove or delete": deleted);
+#   * xla_wide scoring loses to plain vmapped XLA at small banks (the
+#     [B*T, S*K] logp tensor round-trips HBM: 2.98 vs 2.60 ms headline)
+#     but pallas_wide avoids the tensor entirely and wins at EVERY swept
+#     geometry (headline 2.03 ms, ubm_bank 4.11 vs 26.0 ms, mfcc_only
+#     1.93 ms, deltas tie, nonbucket 2.36 ms, small_batch within-IQR).
 _MEASURED_DISPATCH: dict[str, tuple[str, str, str]] = {
-    # geometry_class -> variant; see _geometry_class for the key grammar.
-    # Filled by the r3 sweep (see experiments/results/r3_geometry_sweep.jsonl):
     "fused:small_bank": ("pallas", "f32", "pallas_wide"),
     "fused:large_bank": ("pallas", "f32", "pallas_wide"),
-    "unfused:small_bank": ("xla", "f32", "xla_wide"),
-    "unfused:large_bank": ("xla", "f32", "xla_wide"),
+    "unfused:small_bank": ("xla", "f32", "pallas_wide"),
+    # not directly swept (no unfused large-bank geometry exists among the
+    # serving configs); scoring dominates at S*K >= 2048 and pallas_wide
+    # wins it 6.3x at ubm_bank regardless of frontend choice
+    "unfused:large_bank": ("xla", "f32", "pallas_wide"),
 }
 
-# The guaranteed-good floor: pure XLA with the wide scoring program.
-_FLOOR_VARIANT = ("xla", "f32", "xla_wide")
+# The guaranteed-good floor: the plain XLA program (vmapped scoring) —
+# exactly what a no-Pallas build would run.
+_FLOOR_VARIANT = ("xla", "f32", "xla")
 
 # Banks at or above this S*K get the 'large_bank' dispatch row.
 _LARGE_BANK_SK = 2048

@@ -78,17 +78,18 @@ def _matmul_precision() -> str:
 
 
 def _frontend_matmul_dtype() -> str:
-    """SRTPU_FRONTEND_DTYPE=bf16 feeds the DFT matmuls bf16 operands with
-    f32 accumulation (~2x MXU throughput; the frontend is DFT-bound).
+    """Serving always uses f32 matmul operands.
 
-    STRICTLY OPT-IN: measured on the synthetic corpus, bf16 perturbs the
-    CMVN'd features substantially (RMS ~0.5 on O(1) features — low-energy
-    spectral bins lose most of their precision to the 8-bit mantissa)
-    although closed-set accuracy held at 1.0 there. Default f32 preserves
-    parity with the float64 oracles; validate accuracy on your corpus
-    before enabling."""
-    import os
-    return os.environ.get("SRTPU_FRONTEND_DTYPE", "f32")
+    The bf16-operand variant remains measurable through the variant axis
+    of api/fastpath.predict_scores_fn and experiments/bench_geometry.py,
+    but the r3 variance-aware sweep (results/r3_geometry_sweep.jsonl)
+    found it never faster than f32 beyond the recorded IQR at any swept
+    geometry — on TPU the DEFAULT f32 matmul already runs as a single
+    bf16 MXU pass, so explicit bf16 operands only shrink operand bytes.
+    The former SRTPU_FRONTEND_DTYPE env knob is therefore gone
+    (round 1's "prove or delete", resolved by deletion; see
+    experiments/results/r3_notes.md)."""
+    return "f32"
 
 
 def masked_cmvn(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -115,7 +115,7 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
     leave VMEM (the XLA path re-materializes them in HBM, which becomes the
     bandwidth bound once the packed math drops the FLOP count ~7x).
 
-    When `frames`/`D` arrive as bfloat16 (SRTPU_FRONTEND_DTYPE=bf16) the
+    When `frames`/`D` arrive as bfloat16 (mm_bf16 measurement variant) the
     dominant [tile,256]x[256,512] matmul runs single-pass on the MXU with
     f32 accumulation; X and everything after stays f32."""
     n, flen = frames.shape
