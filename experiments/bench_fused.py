@@ -88,7 +88,7 @@ def main():
               f"{audio/seconds:12.0f} audio-s/s", flush=True)
 
     combos = itertools.product(["xla", "pallas"], ["f32", "bf16"],
-                               ["xla", "pallas"])
+                               ["xla", "pallas", "pallas_wide"])
     bank_args = (sig, lens, bank.weights, bank.means, bank.sigmas)
     for front, mm, scoring in combos:
         name = f"{front}_{mm}_{scoring}"

@@ -119,14 +119,15 @@ def main():
         if a and b:
             rows.append({"phase": f"device_slope_{name}",
                          "seconds_per_x1_workload": (b - a) / 15.0})
-    va = meds.get(("vmapped_xla", 1)), meds.get(("vmapped_xla", 16))
-    wp = meds.get(("wide_pallas", 1)), meds.get(("wide_pallas", 16))
-    if all(va) and all(wp):
-        ratio = (va[1] - va[0]) / max(wp[1] - wp[0], 1e-9)
-        rows.append({"phase": "ratio_vmapxla_over_widepallas_slope",
-                     "ratio": round(ratio, 2)})
-        print(f"slope ratio vmapped_xla / wide_pallas = {ratio:.2f}x",
-              flush=True)
+    for lo, hi, label in [(1, 4, "serving_x1_x4"), (1, 16, "x1_x16")]:
+        va = meds.get(("vmapped_xla", lo)), meds.get(("vmapped_xla", hi))
+        wp = meds.get(("wide_pallas", lo)), meds.get(("wide_pallas", hi))
+        if all(va) and all(wp):
+            ratio = (va[1] - va[0]) / max(wp[1] - wp[0], 1e-9)
+            rows.append({"phase": f"ratio_vmapxla_over_widepallas_{label}",
+                         "ratio": round(ratio, 2)})
+            print(f"slope ratio ({label}) vmapped_xla / wide_pallas = "
+                  f"{ratio:.2f}x", flush=True)
 
     if args.out:
         path = args.out if os.path.isabs(args.out) else os.path.join(

@@ -58,24 +58,25 @@ def main():
     interpret = jax.default_backend() != "tpu"
     audio = B * seconds
 
-    @jax.jit
-    def red(a, b):
-        return jnp.sum(a) + jnp.sum(b)
-
-    def run():
-        out, r = pallas_frontend.packed_from_signals(
-            sig, fshift, D, W, dct_np, floor, A, interpret=interpret,
-            n_valid=nv, cmvn=True, fuse_lpc=True)
-        return red(out, r)
-
     rows = []
     for tile in [int(t) for t in args.tiles.split(",")]:
         pallas_frontend.UTT_TILE = tile
         pallas_frontend._run_packed_signals.clear_cache()
+
+        # ONE jitted program per tile setting: the eager wrapper dispatches
+        # several small ops per call, which the ~1 ms/program tunnel floor
+        # (r3_notes.md) would swamp
+        @jax.jit
+        def run(s, n):
+            out, r = pallas_frontend.packed_from_signals(
+                s, fshift, D, W, dct_np, floor, A, interpret=interpret,
+                n_valid=n, cmvn=True, fuse_lpc=True)
+            return jnp.sum(out) + jnp.sum(r)
+
         try:
-            float(np.asarray(run()))  # compile + warmup
+            float(np.asarray(run(sig, nv)))  # compile + warmup
             t0 = time.perf_counter()
-            float(np.asarray(run()))
+            float(np.asarray(run(sig, nv)))
             once = max(time.perf_counter() - t0, 1e-4)
             iters = max(3, min(300, int(1.0 / once)))
             ts = []
@@ -83,7 +84,7 @@ def main():
                 t0 = time.perf_counter()
                 out = None
                 for _ in range(iters):
-                    out = run()
+                    out = run(sig, nv)
                 float(np.asarray(out))
                 ts.append((time.perf_counter() - t0) / iters)
             med = float(np.median(ts))

@@ -118,13 +118,15 @@ def _mode() -> str:
 #   * every entry ties or beats the pure-XLA floor at every swept geometry
 #     of its class (slack = one recorded IQR), and is within one IQR of the
 #     fastest measured variant there;
-#   * bf16 operands never beat f32 beyond the IQR (headline: 2.037 vs
-#     2.028 ms) -> f32 everywhere (round 1's "prove or delete": deleted);
+#   * bf16 operands never beat f32 beyond the IQR (headline: 1.913 vs
+#     1.915 ms) -> f32 everywhere (round 1's "prove or delete": deleted);
 #   * xla_wide scoring loses to plain vmapped XLA at small banks (the
-#     [B*T, S*K] logp tensor round-trips HBM: 2.98 vs 2.60 ms headline)
-#     but pallas_wide avoids the tensor entirely and wins at EVERY swept
-#     geometry (headline 2.03 ms, ubm_bank 4.11 vs 26.0 ms, mfcc_only
-#     1.93 ms, deltas tie, nonbucket 2.36 ms, small_batch within-IQR).
+#     [B*T, S*K] logp tensor round-trips HBM: 2.60 vs 2.40 ms headline)
+#     but pallas_wide avoids the tensor entirely and wins at every swept
+#     geometry above the small-batch regime (headline 1.92 ms, ubm_bank
+#     3.89 vs 25.96 ms, mfcc_only 1.95 ms, deltas 2.51 ms, nonbucket
+#     2.14 ms); at B<=_SMALL_BATCH_MAX the fixed per-program overhead
+#     dominates and the floor serves (B=8: 0.773 vs 0.907 ms).
 _MEASURED_DISPATCH: dict[str, tuple[str, str, str]] = {
     "fused:small_bank": ("pallas", "f32", "pallas_wide"),
     "fused:large_bank": ("pallas", "f32", "pallas_wide"),
@@ -142,6 +144,13 @@ _FLOOR_VARIANT = ("xla", "f32", "xla")
 # Banks at or above this S*K get the 'large_bank' dispatch row.
 _LARGE_BANK_SK = 2048
 
+# At tiny batches every variant is dominated by fixed per-program overhead
+# and the plain XLA program measured fastest (B=8: 0.773 ms vs 0.907 ms
+# for the fused path — r3_geometry_sweep.jsonl 'small_batch'); only the
+# endpoints B=8 and B=512 were swept, so the crossover is bounded
+# conservatively: below this batch size the floor variant serves.
+_SMALL_BATCH_MAX = 32
+
 
 def _geometry_class(fs: int, cfg: FeatureConfig, padded_len: int,
                     n_speakers: int, n_mixtures: int) -> str:
@@ -153,7 +162,8 @@ def _geometry_class(fs: int, cfg: FeatureConfig, padded_len: int,
 
 def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
                     interpret: bool, n_speakers: int = 4,
-                    n_mixtures: int = 32) -> tuple[str, str, str]:
+                    n_mixtures: int = 32,
+                    batch_size: int | None = None) -> tuple[str, str, str]:
     """(frontend, mm, scoring) for production serving — a lookup in the
     measured per-geometry dispatch table, never an assertion.
 
@@ -164,6 +174,9 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
     """
     if extract._matmul_precision() != "default":
         return ("xla", "f32", "xla")
+    if batch_size is not None and batch_size <= _SMALL_BATCH_MAX \
+            and n_speakers * n_mixtures < _LARGE_BANK_SK:
+        return _FLOOR_VARIANT
     key = _geometry_class(fs, cfg, padded_len, n_speakers, n_mixtures)
     variant = _MEASURED_DISPATCH.get(key, _FLOOR_VARIANT)
     if variant[0] == "pallas" and not fused_geometry_ok(fs, cfg, padded_len):
@@ -187,7 +200,8 @@ def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
     padded_len = int(signals.shape[-1])
     S, K = bank.weights.shape
     front, mm, scoring = default_variant(fs, cfg, padded_len, interpret,
-                                         n_speakers=S, n_mixtures=K)
+                                         n_speakers=S, n_mixtures=K,
+                                         batch_size=int(signals.shape[0]))
     fn = predict_scores_fn(fs, cfg, padded_len, front, mm, scoring,
                            interpret, extract._matmul_precision())
     return fn(signals.astype(jnp.float32), lengths.astype(jnp.int32),

@@ -167,10 +167,23 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
     )(frames, D, W, dct_t, A)
 
 
-# Utterances per grid step of the signal-level kernel. 2 utterances of the
-# 5 s serving shape give ~640 matmul rows/step — the same knee as
-# FRAME_TILE=512.
-UTT_TILE = 2
+# Max matmul rows per grid step of the signal-level kernel. The r3 sweep
+# (experiments/results/r3_utt_tile.jsonl, median of 5 trials) is monotone
+# in utterances/step at the 5 s serving shape (320 rows/utt): 1 utt
+# 2.116 ms, 2 utts 1.903, 4 utts 1.847, 8 utts 1.826 — so the kernel
+# packs as many utterances per step as fit this row budget (8 at the
+# serving shape ~ 13 MB VMEM for X/Y + operators; longer utterances
+# automatically get fewer per step so VMEM never overflows).
+MAX_STEP_ROWS = 2560
+# Back-compat/testing override: when set to an int (e.g. by
+# experiments/bench_utt_tile.py), forces that many utterances per step.
+UTT_TILE: int | None = None
+
+
+def _utt_tile(rows: int) -> int:
+    if UTT_TILE is not None:
+        return UTT_TILE
+    return max(1, min(8, MAX_STEP_ROWS // max(rows, 1)))
 
 
 def _levinson_unrolled_T(rT: jnp.ndarray, order: int) -> jnp.ndarray:
@@ -226,7 +239,7 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
     assert flen == 2 * fshift and Lp % fshift == 0, (flen, fshift, Lp)
     rows = Lp // fshift
     T = rows - 1
-    U = UTT_TILE
+    U = _utt_tile(Lp // fshift)
     assert B % U == 0, (B, U)
     assert rows % 8 == 0, rows  # sublane-aligned block (LENGTH_BUCKET)
     ncols = D.shape[1]
@@ -349,7 +362,7 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
     B = signals.shape[0]
     assert not cmvn or n_valid is not None
     mm_dt = jnp.bfloat16 if mm_bf16 else jnp.float32
-    b_pad = _round_up(max(B, 1), UTT_TILE)
+    b_pad = _round_up(max(B, 1), _utt_tile(signals.shape[-1] // fshift))
     # signals stay f32 into the kernel (the in-kernel roll requires 32-bit
     # data); only the matmul operands are cast when mm_bf16.
     s = signals.astype(jnp.float32)

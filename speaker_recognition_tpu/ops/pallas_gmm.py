@@ -151,13 +151,20 @@ def bank_avg_loglik(bank: gmm_mod.GmmParams, X: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def _run_batch_lse(x2t, xt, A, B, cw, K: int, interpret: bool):
+def _run_batch_lse(xt, A, B, cw, K: int, interpret: bool):
     """Per-frame per-speaker logsumexp over ALL frames of a padded batch:
-    [d, n] frames (n = B*T, utterance-major) -> [S, n]. No in-kernel frame
-    accumulation, so frame tiles may span utterance boundaries; the masked
-    per-utterance average is a tiny XLA epilogue on the [S, n] output
-    (~1000x smaller than the [n, S*K] logp tensor the unfused path
-    materializes)."""
+    [d, n] transposed frames (n = B*T, utterance-major) -> [S, n].
+
+    Layout choice (measured, r3_scoring_scale.jsonl): the transpose to
+    [d, n] happens ONCE in XLA (one HBM materialization); the x^2
+    squaring happens in-kernel on the VMEM tile (the first version also
+    materialized x2t in HBM and lost to the vmapped program beyond ~1M
+    frames; a fully in-kernel transpose of the natural [n, d] layout
+    costs a Mosaic relayout per tile and measured ~2x slower at the
+    serving batch). No in-kernel frame accumulation, so frame tiles may
+    span utterance boundaries; the masked per-utterance average is a
+    tiny XLA epilogue on the [S, n] output (~1000x smaller than the
+    [n, S*K] logp tensor the unfused path materializes)."""
     d, n = xt.shape
     SK = A.shape[0]
     S = SK // K
@@ -165,10 +172,12 @@ def _run_batch_lse(x2t, xt, A, B, cw, K: int, interpret: bool):
     n_tiles = n // FRAME_TILE
     s_blocks = S // sb
 
-    def kernel(x2_ref, x_ref, a_ref, b_ref, cw_ref, out_ref):
-        logp = (jnp.dot(a_ref[:], x2_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(b_ref[:], x_ref[:], preferred_element_type=jnp.float32)
-                + cw_ref[:].astype(jnp.float32))              # [sb*K, nt]
+    def kernel(x_ref, a_ref, b_ref, cw_ref, out_ref):
+        x = x_ref[:]                                           # [d, nt]
+        logp = (jnp.dot(a_ref[:], x * x,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(b_ref[:], x, preferred_element_type=jnp.float32)
+                + cw_ref[:].astype(jnp.float32))               # [sb*K, nt]
         lp = logp.reshape(sb, K, FRAME_TILE)
         m = jnp.max(lp, axis=1, keepdims=True)
         out_ref[:] = m[:, 0, :] + jnp.log(jnp.sum(jnp.exp(lp - m), axis=1))
@@ -177,8 +186,6 @@ def _run_batch_lse(x2t, xt, A, B, cw, K: int, interpret: bool):
         kernel,
         grid=(s_blocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((d, FRAME_TILE), lambda s, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sb * K, d), lambda s, j: (s, 0),
@@ -193,12 +200,12 @@ def _run_batch_lse(x2t, xt, A, B, cw, K: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((S, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * SK * d * n + 4 * SK * n,
-            bytes_accessed=(2 * d * n) * 4 * s_blocks + (S * n) * 4
+            bytes_accessed=(d * n) * 4 * s_blocks + (S * n) * 4
             + SK * (2 * d + 1) * 4,
             transcendentals=2 * SK * n,
         ),
         interpret=interpret,
-    )(x2t, xt, A, B, cw)
+    )(xt, A, B, cw)
 
 
 def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
@@ -234,9 +241,8 @@ def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
     Z = feats.reshape(n, d).astype(jnp.float32)
     Zp = jnp.pad(Z, ((0, n_pad - n), (0, 0)))
     xt = Zp.T                                                  # [d, n_pad]
-    x2t = xt * xt
     op_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    lse = _run_batch_lse(x2t.astype(op_dt), xt.astype(op_dt),
+    lse = _run_batch_lse(xt.astype(op_dt),
                          A.astype(op_dt), Bm.astype(op_dt),
                          c.astype(jnp.float32), K, interpret)  # [S_pad, n_pad]
     lse = lse[:S, :n].reshape(S, B, T)

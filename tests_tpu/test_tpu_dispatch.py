@@ -34,20 +34,27 @@ def test_dispatch_beats_floor_at_every_swept_geometry():
     by_geom = _load()
     assert by_geom, f"sweep artifact missing/empty: {ART}"
     floor_name = "_".join(fastpath._FLOOR_VARIANT)
-    GEOM_TO_CLASS = {
-        "headline": "fused:small_bank",
-        "ubm_bank": "fused:large_bank",
-        "mfcc_only": "unfused:small_bank",
-        "deltas": "unfused:small_bank",
-        "nonbucket_len": "unfused:small_bank",
-        "small_batch": "fused:small_bank",
+    # geometry -> the FeatureConfig deviation the sweep used (None = base)
+    from speaker_recognition_tpu.config import FeatureConfig
+    base = FeatureConfig()
+    GEOM_CFG = {
+        "headline": base,
+        "ubm_bank": base,
+        "mfcc_only": FeatureConfig(mfcc=base.mfcc, use_lpc=False),
+        "deltas": FeatureConfig(mfcc=base.mfcc, lpc=base.lpc,
+                                use_lpc=True, n_deltas=2),
+        "nonbucket_len": base,
+        "small_batch": base,
     }
     for geom, variants in by_geom.items():
-        klass = GEOM_TO_CLASS.get(geom)
-        if klass is None:
+        cfg = GEOM_CFG.get(geom)
+        if cfg is None:
             continue
-        chosen = fastpath._MEASURED_DISPATCH.get(
-            klass, fastpath._FLOOR_VARIANT)
+        any_row = next(iter(variants.values()))
+        chosen = fastpath.default_variant(
+            8000, cfg, any_row["padded"], False,
+            n_speakers=any_row["S"], n_mixtures=any_row["K"],
+            batch_size=any_row["B"])
         chosen_name = "_".join(chosen)
         assert chosen_name in variants, (geom, chosen_name,
                                          sorted(variants))
