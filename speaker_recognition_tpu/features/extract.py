@@ -37,11 +37,17 @@ def _pallas_mode() -> str:
     return os.environ.get("SRTPU_PALLAS", "auto")
 
 
-def _use_pallas(dtype, mode: str) -> bool:
+def _use_pallas(dtype, mode: str, precision: str = "default") -> bool:
     if mode in ("0", "off"):
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False  # the fused kernel is f32-only
+    if precision != "default":
+        # parity mode: raised matmul precision must govern every dot, but
+        # Mosaic's in-kernel dots reject HIGH/HIGHEST (and single-pass
+        # kernel matmuls would silently defeat the request anyway) — the
+        # XLA program serves, matching fastpath.default_variant's rule
+        return False
     if mode in ("1", "on", "interpret"):
         return True
     return jax.default_backend() == "tpu"
@@ -186,7 +192,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
     # produce log(0) = -inf). Clamp to 1e-35: f64 rounding noise keeps real
     # speech power far above it, so parity is unaffected.
     floor = max(mf.power_floor, 1e-35)
-    use_pallas = _use_pallas(dt, pallas_mode)
+    use_pallas = _use_pallas(dt, pallas_mode, precision)
     interpret = pallas_mode == "interpret" or (
         use_pallas and jax.default_backend() != "tpu")
 

@@ -329,3 +329,25 @@ class TestMatmulPrecisionKnob:
         monkeypatch.setenv("SRTPU_MATMUL_PRECISION", "highest")
         assert fastpath.default_variant(fs, cfg, padded_len, False) == \
             ("xla", "f32", "xla")
+
+
+def test_raised_precision_disables_pallas_path():
+    """SRTPU_MATMUL_PRECISION=high/highest must serve the XLA program:
+    Mosaic's in-kernel dots reject HIGH/HIGHEST outright (found on-chip:
+    enroll at 'high' crashed with 'Unsupported dot precision: HIGH'), and
+    a single-pass kernel matmul would silently defeat the request anyway."""
+    import jax.numpy as jnp
+    from speaker_recognition_tpu.features import extract as ex
+    assert ex._use_pallas(jnp.float32, "on", "default") is True
+    for prec in ("high", "highest"):
+        assert ex._use_pallas(jnp.float32, "on", prec) is False
+        assert ex._use_pallas(jnp.float32, "auto", prec) is False
+    # and the jitted extractor builds + runs at raised precision
+    import numpy as np
+    sig = jnp.asarray(np.random.RandomState(0).randn(2, 8192)
+                      .astype(np.float32) * 1000)
+    lens = jnp.asarray(np.array([8000, 6000], np.int32))
+    fn = ex._feature_fn(8000, FeatureConfig(), 8192, "float32", "on",
+                        "f32", "packed", "high")
+    feats, mask = fn(sig, lens)
+    assert np.isfinite(np.asarray(feats)).all()
