@@ -76,9 +76,13 @@ def _matmul_precision() -> str:
     median |err| on CMVN'd O(1) features): default -> 3.9e-2 MFCC /
     3.9e-3 LPC; highest -> 2.5e-5 / 1e-6. Cost at the headline serving
     config (B=512, 5 s utts): high -35% throughput, highest -45%.
-    Closed-set accuracy on the synthetic corpus holds at 1.0 at every
-    setting, so throughput keeps 'default'; set 'highest' when f64-scale
-    feature parity with the reference matters more than speed."""
+    Accuracy impact, measured on the NON-SATURATED hard corpus (20
+    speakers, 2500 3 s tests per knob, r3_accuracy_hard.jsonl): default
+    0.9608, high 0.9672, highest 0.9656 — the paired per-seed deltas are
+    within noise (<=1.5 sigma), so throughput keeps 'default'; set
+    'highest' when f64-scale feature parity with the reference matters
+    more than speed. Raised precision serves the XLA program (Mosaic
+    in-kernel dots reject HIGH/HIGHEST; see _use_pallas)."""
     import os
     return os.environ.get("SRTPU_MATMUL_PRECISION", "default")
 

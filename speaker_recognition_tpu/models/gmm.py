@@ -97,6 +97,14 @@ def per_frame_loglik(params: GmmParams, X: jnp.ndarray,
     logsumexp matches the reference's linear-space sum (gmm.cc:229-244)
     everywhere except total underflow, where the reference substitutes its
     1e-15 floor — reproduced via the _UNDERFLOW_LOG guard.
+
+    Inherited quirk (kept deliberately for parity): the floor CLAMPS a
+    hopeless frame's score up to log(1e-15) = -34.5, so on data whose true
+    log-density is below -745 per frame an utterly mismatched speaker can
+    out-score a plausible one — exactly as the reference's pygmm path
+    behaves (gmm.cc:482-492). Unreachable for real CMVN'd speech features
+    (mismatched scores are ~-50..-300/frame); only extreme synthetic
+    inputs can trip it.
     """
     lse = jax.scipy.special.logsumexp(log_joint(params, X), axis=-1)
     return jnp.where(lse > _UNDERFLOW_LOG, lse, math.log(min_prob_sum))

@@ -40,10 +40,19 @@ __all__ = ["pairwise_dist2", "lloyd", "kmeanspp", "kmeansii",
 
 
 def pairwise_dist2(X: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
-    """[n, d], [K, d] -> [n, K] squared euclidean distances (one matmul)."""
+    """[n, d], [K, d] -> [n, K] squared euclidean distances (one matmul).
+
+    The matmul is pinned to HIGHEST precision: on TPU the default f32
+    matmul is a single bf16 pass, whose absolute error on the cross term
+    (~1e-3 relative) floors small distances and distorts the D^2 sampling
+    weights — measured on-chip, one seed in five collapsed k-means||
+    seeding to a 38x-worse inertia (tests_tpu/test_tpu_kernels.py).
+    Seeding/assignment cost is negligible next to EM, so full precision
+    here is free; with it the compiled result is bit-identical to CPU."""
     x2 = jnp.sum(X * X, axis=-1, keepdims=True)
     c2 = jnp.sum(C * C, axis=-1)
-    d2 = x2 - 2.0 * (X @ C.T) + c2[None, :]
+    xc = jnp.matmul(X, C.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = x2 - 2.0 * xc + c2[None, :]
     return jnp.maximum(d2, 0.0)
 
 
@@ -75,7 +84,9 @@ def lloyd(X: jnp.ndarray, mask: jnp.ndarray, centroids0: jnp.ndarray,
     def update(C, belong):
         onehot = (belong[:, None] == jnp.arange(C.shape[0])[None, :]).astype(dt) * m[:, None]
         counts = jnp.sum(onehot, axis=0)
-        sums = onehot.T @ X
+        # full precision like pairwise_dist2: a bf16 pass would round X
+        # into the centroid sums (output is tiny, cost negligible)
+        sums = jnp.matmul(onehot.T, X, precision=jax.lax.Precision.HIGHEST)
         return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), C)
 
     def cond(carry):
@@ -274,6 +285,13 @@ def kmeansii_device(X, mask, K: int, key: jax.Array,
     # points, the reference's uniform top-up, kmeansII.cc:139-146)
     order = jnp.where(is_seed, jnp.arange(n), n)
     sidx = jnp.sort(order)[:cap]
+    if cap > n:
+        # fewer frames than the seed buffer (short enrollments: n < ~2K +
+        # 4*ceil(l) — e.g. a 3 s utterance at K=32): the [:cap] slice of a
+        # length-n array stays length n, so pad the buffer explicitly;
+        # pad slots (index n) become random valid points below, exactly
+        # like unused buffer slots
+        sidx = jnp.pad(sidx, (0, cap - n), constant_values=n)
     pad = sidx >= n
     u = jax.random.uniform(k_fill, (cap,), dtype=dt)[:, None]
     rand_idx = jnp.clip(jnp.searchsorted(jnp.cumsum(maskf),
