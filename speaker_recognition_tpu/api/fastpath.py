@@ -51,8 +51,9 @@ def fused_geometry_ok(fs: int, cfg: FeatureConfig, padded_len: int) -> bool:
     """Whether the pallas signal-level frontend can express this config
     (the XLA variant has no geometry constraints beyond the extractor's)."""
     mf, lp = cfg.mfcc, cfg.lpc
-    if cfg.n_deltas:
-        return False  # delta features are not in the pallas frontend
+    # n_deltas needs no gate: the extractor applies deltas as an XLA
+    # epilogue after the fused kernel (extract.apply_deltas), preserving
+    # the reference's CMVN-then-diff order
     if not cfg.use_lpc:
         # the signal-level kernel always computes the fused LPC branch;
         # MFCC-only configs serve via the XLA program (r2 misrouted them
@@ -130,11 +131,18 @@ def _mode() -> str:
 _MEASURED_DISPATCH: dict[str, tuple[str, str, str]] = {
     "fused:small_bank": ("pallas", "f32", "pallas_wide"),
     "fused:large_bank": ("pallas", "f32", "pallas_wide"),
+    # deltas triple the feature dim (d=84): the wide kernel's transposed
+    # strided tiles lose to the vmapped XLA scoring there (2.66 vs
+    # 2.18 ms, r3 deltas re-sweep) while the fused frontend still wins
+    "fused:small_bank:deltas": ("pallas", "f32", "xla"),
     "unfused:small_bank": ("xla", "f32", "pallas_wide"),
     # not directly swept (no unfused large-bank geometry exists among the
     # serving configs); scoring dominates at S*K >= 2048 and pallas_wide
     # wins it 6.3x at ubm_bank regardless of frontend choice
     "unfused:large_bank": ("xla", "f32", "pallas_wide"),
+    "fused:large_bank:deltas": ("pallas", "f32", "pallas_wide"),
+    "unfused:small_bank:deltas": ("xla", "f32", "xla"),
+    "unfused:large_bank:deltas": ("xla", "f32", "pallas_wide"),
 }
 
 # The guaranteed-good floor: the plain XLA program (vmapped scoring) —
@@ -157,7 +165,8 @@ def _geometry_class(fs: int, cfg: FeatureConfig, padded_len: int,
     fused = "fused" if fused_geometry_ok(fs, cfg, padded_len) else "unfused"
     bank = ("large_bank" if n_speakers * n_mixtures >= _LARGE_BANK_SK
             else "small_bank")
-    return f"{fused}:{bank}"
+    deltas = ":deltas" if cfg.n_deltas else ""
+    return f"{fused}:{bank}{deltas}"
 
 
 def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,

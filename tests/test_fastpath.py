@@ -114,11 +114,15 @@ def test_measured_dispatch_table_wellformed(monkeypatch):
     assert fastpath._FLOOR_VARIANT[0] == "xla"
 
     fcfg = FeatureConfig()
-    deltas = FeatureConfig(mfcc=fcfg.mfcc, lpc=fcfg.lpc, n_deltas=2)
     mfcc_only = FeatureConfig(mfcc=fcfg.mfcc, use_lpc=False)
-    for cfg, padded in [(deltas, 8192), (mfcc_only, 8192), (fcfg, 8191)]:
+    for cfg, padded in [(mfcc_only, 8192), (fcfg, 8191)]:
         variant = fastpath.default_variant(FS, cfg, padded, False)
         assert variant[0] == "xla", (cfg, variant)
+    # deltas compose with the fused frontend (XLA delta epilogue) but the
+    # tripled feature dim flips the scoring winner to vmapped XLA
+    deltas = FeatureConfig(mfcc=fcfg.mfcc, lpc=fcfg.lpc, n_deltas=2)
+    assert fastpath.default_variant(FS, deltas, 8192, False) == \
+        ("pallas", "f32", "xla")
 
     monkeypatch.setenv("SRTPU_MATMUL_PRECISION", "highest")
     assert fastpath.default_variant(FS, fcfg, 8192, False) == \
