@@ -231,7 +231,7 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         # audio-s/s for XLA at the serving workload (r2_breakdown), so
         # auto must never route through it (VERDICT r2 weak 3). Explicit
         # 'on'/'interpret' still forces it (tests, kernel development).
-        signal_geom_ok = (cfg.use_lpc and flen == 2 * fshift
+        signal_geom_ok = (flen == 2 * fshift
                           and padded_len % fshift == 0
                           and (padded_len // fshift) % 8 == 0)
         pallas_forced = pallas_mode in ("1", "on", "interpret")
@@ -246,14 +246,21 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
                         jnp.where(lengths >= flen,
                                   (lengths - flen) // fshift + 1, 0), T)
                     # Levinson fused in-kernel unless the LPCC recursion is
-                    # requested (then the raw autocorrelation comes out)
-                    fuse_lpc = lp.n_lpcc == 0
+                    # requested (then the raw autocorrelation comes out);
+                    # MFCC-only runs the same kernel with a zero 8-column
+                    # placeholder autocorr operator (second output dropped
+                    # -- the wasted matmul is [*, 8], negligible)
+                    fuse_lpc = cfg.use_lpc and lp.n_lpcc == 0
+                    A_k = (A_np if cfg.use_lpc
+                           else np.zeros((D_np.shape[1], 8)))
                     ceps, r = pallas_frontend.packed_from_signals(
-                        signals, fshift, D_np, W_np, dct_np, floor, A_np,
+                        signals, fshift, D_np, W_np, dct_np, floor, A_k,
                         interpret=interpret, mm_bf16=mm_dt is not None,
                         n_valid=n_valid, cmvn=mf.cmvn, fuse_lpc=fuse_lpc)
                     cmvn_done = mf.cmvn
                     lpc_done = fuse_lpc
+                    if not cfg.use_lpc:
+                        r = None
                 else:
                     out = pallas_frontend.packed_from_frames(
                         frames, D_np, W_np, dct_np, floor, A=A_np,

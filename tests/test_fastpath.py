@@ -114,10 +114,13 @@ def test_measured_dispatch_table_wellformed(monkeypatch):
     assert fastpath._FLOOR_VARIANT[0] == "xla"
 
     fcfg = FeatureConfig()
+    # a non-bucket padded length cannot use the fused frontend
+    assert fastpath.default_variant(FS, fcfg, 8191, False)[0] == "xla"
+    # MFCC-only fuses via the placeholder-autocorr kernel (r3: 1.60 ms vs
+    # 1.87 for the XLA frontend at the swept geometry)
     mfcc_only = FeatureConfig(mfcc=fcfg.mfcc, use_lpc=False)
-    for cfg, padded in [(mfcc_only, 8192), (fcfg, 8191)]:
-        variant = fastpath.default_variant(FS, cfg, padded, False)
-        assert variant[0] == "xla", (cfg, variant)
+    assert fastpath.default_variant(FS, mfcc_only, 8192, False) == \
+        ("pallas", "f32", "pallas_wide")
     # deltas compose with the fused frontend (XLA delta epilogue) but the
     # tripled feature dim flips the scoring winner to vmapped XLA
     deltas = FeatureConfig(mfcc=fcfg.mfcc, lpc=fcfg.lpc, n_deltas=2)
