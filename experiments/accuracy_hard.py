@@ -88,8 +88,10 @@ def main():
                       "trials": accs})
 
     if not args.skip_precision:
-        # each knob combination re-runs the SAME trials; deltas vs the
-        # baseline row answer "does this precision knob cost accuracy?"
+        # each knob combination re-runs the SAME trials; PAIRED per-seed
+        # deltas vs the default row answer "does this precision knob cost
+        # accuracy?" with real statistics (VERDICT r3 item 3: >=10 seeds,
+        # a paired test, and a confidence interval)
         KNOBS = [
             # (name, env overrides)
             ("default", {}),
@@ -99,6 +101,7 @@ def main():
         ]
         KEYS = ["SRTPU_MATMUL_PRECISION", "SRTPU_PALLAS"]
         n, test_s = min(20, len(samples)), 3.0
+        knob_accs: dict[str, list] = {}
         for name, env in KNOBS:
             saved = {k: os.environ.get(k) for k in KEYS}
             for k in KEYS:
@@ -110,6 +113,7 @@ def main():
                 for seed in range(args.trials):
                     acc, _ = run(n, test_s, seed)
                     accs.append(acc)
+                knob_accs[name] = accs
                 emit({"kind": "precision_table", "knob": name,
                       "n_speakers": n, "test_seconds": test_s,
                       "n_tests": n * args.tests_per_person * args.trials,
@@ -122,6 +126,31 @@ def main():
                         os.environ.pop(k, None)
                     else:
                         os.environ[k] = v
+        base = np.asarray(knob_accs.get("default", []))
+        for name, accs in knob_accs.items():
+            if name == "default" or len(accs) != len(base) or len(base) < 2:
+                continue
+            d = np.asarray(accs) - base          # paired per-seed deltas
+            m = len(d)
+            sd = float(d.std(ddof=1))
+            se = sd / np.sqrt(m) if sd > 0 else 0.0
+            t = float(d.mean() / se) if se > 0 else 0.0
+            # 95% CI with the t_{m-1} critical value (table lookup keeps
+            # this scipy-free; m>=31 uses the normal 1.96)
+            TCRIT = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57,
+                     7: 2.45, 8: 2.36, 9: 2.31, 10: 2.26, 11: 2.23,
+                     12: 2.20, 15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
+            tc = TCRIT.get(m, min((v for k_, v in TCRIT.items() if k_ >= m),
+                                  default=1.96))
+            emit({"kind": "precision_paired", "knob": name,
+                  "vs": "default", "n_seeds": m,
+                  "delta_mean": round(float(d.mean()), 4),
+                  "delta_sd": round(sd, 4),
+                  "ci95": [round(float(d.mean() - tc * se), 4),
+                           round(float(d.mean() + tc * se), 4)],
+                  "t_stat": round(t, 2),
+                  "seeds_above": int(np.sum(d > 0)),
+                  "seeds_below": int(np.sum(d < 0))})
 
     if args.out:
         path = args.out if os.path.isabs(args.out) else os.path.join(

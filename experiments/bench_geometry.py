@@ -66,17 +66,33 @@ def main():
     interpret = jax.default_backend() != "tpu"
     base = FeatureConfig()
 
+    deltas_cfg = FeatureConfig(mfcc=base.mfcc, lpc=base.lpc,
+                               use_lpc=True, n_deltas=2)
     # geometry name -> (B, seconds, S, K, cfg, bucketed)
     GEOMETRIES = {
         "headline": (512, 5.0, 4, 32, base, True),
         "ubm_bank": (128, 5.0, 80, 256, base, True),
         "mfcc_only": (512, 5.0, 4, 32,
                       FeatureConfig(mfcc=base.mfcc, use_lpc=False), True),
-        "deltas": (512, 5.0, 4, 32,
-                   FeatureConfig(mfcc=base.mfcc, lpc=base.lpc,
-                                 use_lpc=True, n_deltas=2), True),
+        "deltas": (512, 5.0, 4, 32, deltas_cfg, True),
         "nonbucket_len": (512, 5.0, 4, 32, base, False),
         "small_batch": (8, 5.0, 4, 32, base, True),
+        # r4 additions (VERDICT r3 item 4): the three dispatch rows that
+        # were inferred rather than swept...
+        "large_bank_deltas": (128, 5.0, 80, 256, deltas_cfg, True),
+        "nonbucket_large_bank": (128, 5.0, 80, 256, base, False),
+        "nonbucket_large_bank_deltas": (128, 5.0, 80, 256, deltas_cfg,
+                                        False),
+        # ...the B in (8, 512) region bounding _SMALL_BATCH_MAX...
+        "batch_16": (16, 5.0, 4, 32, base, True),
+        "batch_32": (32, 5.0, 4, 32, base, True),
+        "batch_64": (64, 5.0, 4, 32, base, True),
+        "batch_128": (128, 5.0, 4, 32, base, True),
+        # ...and the wide-kernel frames-per-call crossover (r3_notes: the
+        # transposed-layout kernel loses to vmapped XLA beyond ~1M frames;
+        # B=2048/4096 at 5 s are ~0.64M/1.28M frames)
+        "batch_2048": (2048, 5.0, 4, 32, base, True),
+        "batch_4096": (4096, 5.0, 4, 32, base, True),
     }
     only = set(args.only.split(",")) if args.only else None
 
@@ -152,7 +168,8 @@ def main():
 
         # what would auto dispatch, and is it >= the floor?
         chosen = fastpath.default_variant(fs, fcfg, padded, interpret,
-                                          n_speakers=S, n_mixtures=K)
+                                          n_speakers=S, n_mixtures=K,
+                                          batch_size=B)
         by_var = {r["variant"]: r for r in rows
                   if r["geometry"] == geom_name}
         floor_name = "_".join(fastpath._FLOOR_VARIANT)

@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Realism check for synthetic corpora, anchored to the reference's UBM
+(VERDICT r3 item 5).
+
+The only real-speech statistic available in this environment is the
+reference's shipped 256-mixture UBM, trained on 300 real utterances of the
+102-speaker corpus (src/gui/model/ubm.mixture-256.nperson-300.immature.model,
+feature space = bob-MFCC(19 ceps, 55 filters, f<=6 kHz) + LPC(15), d=34,
+no CMVN — src/feature/BOB.py:13-18, LPC.py:60-61). A synthetic corpus is
+"speech-like" to the extent its features look typical under that density:
+
+  band  : per-frame log-likelihood band of samples drawn FROM the UBM
+          (the typical set of the real-speech model itself)
+  check : corpus mean per-frame ll inside [p5, p95] of the band, and the
+          per-dimension feature means within z<=3 of the UBM's global
+          moments (so no single dimension smuggles in an off-manifold
+          corpus that averages out)
+
+Caveat (documented, not hidden): features here come from OUR extractor's
+bob-flavor path, so the check jointly validates corpus realism AND the
+extractor's convention agreement with bob.ap (bob itself is not
+installed). Passing is therefore strictly stronger than either alone.
+
+Usage:
+  python experiments/make_synth_corpus.py /tmp/ubmcorpus --ubm --speakers 40
+  python experiments/ubm_anchor.py --corpus "/tmp/ubmcorpus/*.wav" \
+      --out results/local/r4_ubm_anchor.jsonl [--check]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.realpath(__file__))),
+                 ".jax_cache"))
+
+import numpy as np
+import scipy.io.wavfile as wavfile
+
+UBM_PATH = ("/root/reference/src/gui/model/"
+            "ubm.mixture-256.nperson-300.immature.model")
+
+
+def ubm_feature_config():
+    from speaker_recognition_tpu.config import (FeatureConfig, LpcConfig,
+                                                bob_mfcc_config)
+    return FeatureConfig(mfcc=bob_mfcc_config(cmvn=False), lpc=LpcConfig(),
+                         use_lpc=True)
+
+
+def ubm_band(ubm, n=20000, seed=0):
+    """Per-frame ll distribution of samples drawn from the UBM itself."""
+    import jax.numpy as jnp
+    from speaker_recognition_tpu.models import gmm
+    rng = np.random.RandomState(seed)
+    w = ubm.weights / ubm.weights.sum()
+    comp = rng.choice(len(w), size=n, p=w)
+    x = ubm.means[comp] + ubm.sigmas[comp] * rng.randn(n, ubm.means.shape[1])
+    p = gmm.GmmParams(*(jnp.asarray(a, jnp.float32) for a in ubm))
+    ll = np.asarray(gmm.per_frame_loglik(p, jnp.asarray(x, jnp.float32),
+                                         1e-15))
+    return ll
+
+
+def corpus_stats(corpus_glob, ubm, max_seconds=30.0):
+    import jax.numpy as jnp
+    from speaker_recognition_tpu.features import extract
+    from speaker_recognition_tpu.models import gmm
+    cfg = ubm_feature_config()
+    p = gmm.GmmParams(*(jnp.asarray(a, jnp.float32) for a in ubm))
+    lls, feats = [], []
+    files = sorted(glob.glob(corpus_glob))
+    assert files, f"no wavs match {corpus_glob}"
+    for path in files:
+        fs, sig = wavfile.read(path)
+        if sig.ndim > 1:
+            sig = sig[:, 0]
+        sig = sig[: int(fs * max_seconds)]
+        feat = extract.mix_feature(fs, sig, cfg)
+        ll = np.asarray(gmm.per_frame_loglik(
+            p, jnp.asarray(feat, jnp.float32), 1e-15))
+        lls.append(ll)
+        feats.append(feat)
+    return np.concatenate(lls), np.concatenate(feats, axis=0), len(files)
+
+
+def ubm_global_moments(ubm):
+    """Mixture-collapsed mean/std per dimension."""
+    w = (ubm.weights / ubm.weights.sum())[:, None]
+    mu = np.sum(w * ubm.means, axis=0)
+    ex2 = np.sum(w * (ubm.sigmas ** 2 + ubm.means ** 2), axis=0)
+    return mu, np.sqrt(np.maximum(ex2 - mu ** 2, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/tmp/ubmcorpus/*.wav")
+    ap.add_argument("--corpus-label", default=None)
+    ap.add_argument("--ubm-path", default=UBM_PATH)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--check", action="store_true",
+                    help="exit nonzero unless the corpus passes the band "
+                         "and per-dimension checks")
+    ap.add_argument("--max-seconds", type=float, default=30.0,
+                    help="audio scored per file")
+    args = ap.parse_args()
+
+    from speaker_recognition_tpu.utils import serialization
+    with open(args.ubm_path) as f:
+        ubm = serialization.load_reference_gmm(f)
+
+    band = ubm_band(ubm)
+    p5, p95 = np.percentile(band, 5), np.percentile(band, 95)
+    lls, feats, n_files = corpus_stats(args.corpus, ubm, args.max_seconds)
+    mu, sd = ubm_global_moments(ubm)
+    # z-score of the corpus's per-dim mean against the UBM's global moments
+    # (the corpus mean of n frames concentrates, but speakers/styles are a
+    # small sample — z is measured against the POPULATION sd, which is the
+    # scale mismatches show up on)
+    z = (feats.mean(axis=0) - mu) / sd
+
+    row = {
+        "kind": "ubm_anchor",
+        "corpus": args.corpus_label or args.corpus,
+        "n_files": n_files,
+        "n_frames": int(lls.shape[0]),
+        "corpus_ll_mean": round(float(lls.mean()), 2),
+        "corpus_ll_median": round(float(np.median(lls)), 2),
+        "band_mean": round(float(band.mean()), 2),
+        "band_p5": round(float(p5), 2),
+        "band_p95": round(float(p95), 2),
+        "frac_frames_in_band": round(
+            float(np.mean((lls >= p5) & (lls <= p95))), 3),
+        "dim_absz_max": round(float(np.abs(z).max()), 2),
+        "dim_absz_argmax": int(np.abs(z).argmax()),
+        "in_band": bool(p5 <= lls.mean() <= p95),
+        "dims_ok": bool(np.abs(z).max() <= 3.0),
+    }
+    print(json.dumps(row), flush=True)
+
+    if args.out:
+        path = args.out if os.path.isabs(args.out) else os.path.join(
+            os.path.dirname(os.path.realpath(__file__)), args.out)
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), **row}) + "\n")
+
+    if args.check and not (row["in_band"] and row["dims_ok"]):
+        print("REALISM CHECK FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

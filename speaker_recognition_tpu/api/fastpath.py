@@ -193,13 +193,23 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
     return variant
 
 
+# Variants that failed to build/compile at some geometry this process
+# (e.g. a Mosaic scoped-VMEM OOM on a backend with a tighter limit than
+# the sweep machine's): serving must degrade to the XLA floor, not crash.
+_BROKEN_VARIANTS: set[tuple] = set()
+
+
 def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
                  bank: GmmParams, fs: int,
                  cfg: FeatureConfig = FeatureConfig(),
                  dtype: str = "float32") -> jnp.ndarray | None:
     """[B, Lp] padded signals + [B] lengths + [S, K] bank -> [B, S] scores
     via the measured-fastest variant for this geometry, or None when the
-    caller should use its own (non-f32 or env-disabled) path."""
+    caller should use its own (non-f32 or env-disabled) path.
+
+    A variant that fails to compile at this geometry (backend limits can
+    differ from the sweep machine's) is remembered as broken and the XLA
+    floor program serves instead — a slow answer, never a crash."""
     mode = _mode()
     if mode in ("0", "off") or jnp.dtype(dtype) != jnp.float32:
         return None
@@ -208,12 +218,25 @@ def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
         return None
     padded_len = int(signals.shape[-1])
     S, K = bank.weights.shape
-    front, mm, scoring = default_variant(fs, cfg, padded_len, interpret,
-                                         n_speakers=S, n_mixtures=K,
-                                         batch_size=int(signals.shape[0]))
-    fn = predict_scores_fn(fs, cfg, padded_len, front, mm, scoring,
-                           interpret, extract._matmul_precision())
-    return fn(signals.astype(jnp.float32), lengths.astype(jnp.int32),
-              bank.weights.astype(jnp.float32),
-              bank.means.astype(jnp.float32),
-              bank.sigmas.astype(jnp.float32))
+    B = int(signals.shape[0])
+    variant = default_variant(fs, cfg, padded_len, interpret,
+                              n_speakers=S, n_mixtures=K, batch_size=B)
+    args = (signals.astype(jnp.float32), lengths.astype(jnp.int32),
+            bank.weights.astype(jnp.float32),
+            bank.means.astype(jnp.float32),
+            bank.sigmas.astype(jnp.float32))
+    for v in dict.fromkeys((variant, _FLOOR_VARIANT)):
+        key = (fs, cfg, padded_len, B, v)
+        if key in _BROKEN_VARIANTS:
+            continue
+        fn = predict_scores_fn(fs, cfg, padded_len, *v, interpret,
+                               extract._matmul_precision())
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001 - compile/launch failure
+            import sys
+            _BROKEN_VARIANTS.add(key)
+            print(f"# fastpath variant {v} failed at geometry "
+                  f"(B={B}, padded={padded_len}, S={S}, K={K}): "
+                  f"{type(e).__name__}; falling back", file=sys.stderr)
+    return None

@@ -170,11 +170,14 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
 # Max matmul rows per grid step of the signal-level kernel. The r3 sweep
 # (experiments/results/r3_utt_tile.jsonl, median of 5 trials) is monotone
 # in utterances/step at the 5 s serving shape (320 rows/utt): 1 utt
-# 2.116 ms, 2 utts 1.903, 4 utts 1.847, 8 utts 1.826 — so the kernel
-# packs as many utterances per step as fit this row budget (8 at the
-# serving shape ~ 13 MB VMEM for X/Y + operators; longer utterances
-# automatically get fewer per step so VMEM never overflows).
-MAX_STEP_ROWS = 2560
+# 2.116 ms, 2 utts 1.903, 4 utts 1.847, 8 utts 1.826. r3 served the 8-utt
+# point (2560 rows), but under the current backend's 16 MB scoped-VMEM
+# limit that step allocates 17.21 MB with LPC fused and fails to COMPILE
+# (Mosaic stack OOM, caught live by the r4 accuracy run at the 5 s
+# serving geometry). 1280 rows (~8.6 MB, 4 utts at 5 s / 6 at 3 s) is
+# within budget everywhere and measured only ~1.1% slower at the 5 s
+# shape — the difference sits inside the recorded IQR band.
+MAX_STEP_ROWS = 1280
 # Back-compat/testing override: when set to an int (e.g. by
 # experiments/bench_utt_tile.py), forces that many utterances per step.
 UTT_TILE: int | None = None
