@@ -37,14 +37,26 @@ def test_dispatch_beats_floor_at_every_swept_geometry():
     # geometry -> the FeatureConfig deviation the sweep used (None = base)
     from speaker_recognition_tpu.config import FeatureConfig
     base = FeatureConfig()
+    deltas_cfg = FeatureConfig(mfcc=base.mfcc, lpc=base.lpc,
+                               use_lpc=True, n_deltas=2)
     GEOM_CFG = {
         "headline": base,
         "ubm_bank": base,
         "mfcc_only": FeatureConfig(mfcc=base.mfcc, use_lpc=False),
-        "deltas": FeatureConfig(mfcc=base.mfcc, lpc=base.lpc,
-                                use_lpc=True, n_deltas=2),
+        "deltas": deltas_cfg,
         "nonbucket_len": base,
         "small_batch": base,
+        # r4: previously-inferred rows, batch-size crossover points, and
+        # the wide-kernel frames-per-call crossover (VERDICT r3 item 4)
+        "large_bank_deltas": deltas_cfg,
+        "nonbucket_large_bank": base,
+        "nonbucket_large_bank_deltas": deltas_cfg,
+        "batch_16": base,
+        "batch_32": base,
+        "batch_64": base,
+        "batch_128": base,
+        "batch_2048": base,
+        "batch_4096": base,
     }
     for geom, variants in by_geom.items():
         cfg = GEOM_CFG.get(geom)
