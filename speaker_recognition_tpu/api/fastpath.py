@@ -112,33 +112,31 @@ def _mode() -> str:
 
 
 # Measured dispatch table (experiments/bench_geometry.py on v5e, median of
-# >=5 trials per row; artifact: experiments/results/r3_geometry_sweep.jsonl).
+# >=5 trials per row; artifact: experiments/results/r4_geometry_sweep.jsonl,
+# which re-measured and extended r3's sweep — every row below is now
+# DIRECTLY swept, including the three rows r3 only inferred).
 # Keyed on the geometry class; values are (frontend, mm, scoring).
 # Rules encoded by the data (tests_tpu/test_tpu_dispatch.py re-checks the
 # table against the artifact):
 #   * every entry ties or beats the pure-XLA floor at every swept geometry
 #     of its class (slack = one recorded IQR), and is within one IQR of the
 #     fastest measured variant there;
-#   * bf16 operands never beat f32 beyond the IQR (headline: 1.913 vs
-#     1.915 ms) -> f32 everywhere (round 1's "prove or delete": deleted);
-#   * xla_wide scoring loses to plain vmapped XLA at small banks (the
-#     [B*T, S*K] logp tensor round-trips HBM: 2.60 vs 2.40 ms headline)
-#     but pallas_wide avoids the tensor entirely and wins at every swept
-#     geometry above the small-batch regime (headline 1.92 ms, ubm_bank
-#     3.89 vs 25.96 ms, mfcc_only 1.95 ms, deltas 2.51 ms, nonbucket
-#     2.14 ms); at B<=_SMALL_BATCH_MAX the fixed per-program overhead
-#     dominates and the floor serves (B=8: 0.773 vs 0.907 ms).
+#   * bf16 operands never beat f32 beyond the IQR (r4 headline: 1.965 vs
+#     1.976 ms, margin inside the IQR) -> f32 everywhere;
+#   * pallas_wide avoids the [B*T, S*K] logp HBM tensor and wins at every
+#     swept geometry between the small-batch floor and the wide-kernel
+#     frame ceiling (r4 headline 1.976 ms / 1.30M audio-s/s; ubm_bank
+#     4.04 vs 26.0 ms floor; large_bank_deltas 4.22 ms; nonbucket large
+#     banks 4.03-4.04 ms);
+#   * deltas at SMALL banks flip the scoring winner to vmapped XLA
+#     (d=84 makes the wide kernel's transposed tiles strided: 2.23 vs
+#     2.52 ms) — but at LARGE banks scoring dominates and pallas_wide
+#     still wins (4.22 vs 25.8 ms), both now measured.
 _MEASURED_DISPATCH: dict[str, tuple[str, str, str]] = {
     "fused:small_bank": ("pallas", "f32", "pallas_wide"),
     "fused:large_bank": ("pallas", "f32", "pallas_wide"),
-    # deltas triple the feature dim (d=84): the wide kernel's transposed
-    # strided tiles lose to the vmapped XLA scoring there (2.66 vs
-    # 2.18 ms, r3 deltas re-sweep) while the fused frontend still wins
     "fused:small_bank:deltas": ("pallas", "f32", "xla"),
     "unfused:small_bank": ("xla", "f32", "pallas_wide"),
-    # not directly swept (no unfused large-bank geometry exists among the
-    # serving configs); scoring dominates at S*K >= 2048 and pallas_wide
-    # wins it 6.3x at ubm_bank regardless of frontend choice
     "unfused:large_bank": ("xla", "f32", "pallas_wide"),
     "fused:large_bank:deltas": ("pallas", "f32", "pallas_wide"),
     "unfused:small_bank:deltas": ("xla", "f32", "xla"),
@@ -152,12 +150,20 @@ _FLOOR_VARIANT = ("xla", "f32", "xla")
 # Banks at or above this S*K get the 'large_bank' dispatch row.
 _LARGE_BANK_SK = 2048
 
-# At tiny batches every variant is dominated by fixed per-program overhead
-# and the plain XLA program measured fastest (B=8: 0.773 ms vs 0.907 ms
-# for the fused path — r3_geometry_sweep.jsonl 'small_batch'); only the
-# endpoints B=8 and B=512 were swept, so the crossover is bounded
-# conservatively: below this batch size the floor variant serves.
-_SMALL_BATCH_MAX = 32
+# At tiny batches every variant sits on the ~1 ms per-program dispatch
+# floor and the differences are sub-IQR noise; the r4 sweep filled the
+# B in (8, 512) gap: the floor ties-or-wins at B=8/16/32/64 (1.09-1.22 ms,
+# spread < 0.16 ms) and loses from B=128 up (1.225 vs 1.040 ms) — so the
+# crossover is encoded at 64, ON data rather than between endpoints.
+_SMALL_BATCH_MAX = 64
+
+# The wide scoring kernel's transposed input layout makes its frame tiles
+# strided DMA, so past ~1M frames per call the vmapped PALLAS scoring
+# overtakes it (r4 sweep: B=2048 x 313 frames = 0.64M -> wide wins 6.85
+# vs 7.52 ms; B=4096 x 313 = 1.28M -> wide loses 17.32 vs 15.24 ms).
+# Above this ceiling the dispatch swaps pallas_wide -> pallas so a
+# large-batch caller cannot land in the measured-slower regime.
+_WIDE_SCORING_MAX_FRAMES = 1_000_000
 
 
 def _geometry_class(fs: int, cfg: FeatureConfig, padded_len: int,
@@ -190,6 +196,14 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
     variant = _MEASURED_DISPATCH.get(key, _FLOOR_VARIANT)
     if variant[0] == "pallas" and not fused_geometry_ok(fs, cfg, padded_len):
         return _FLOOR_VARIANT
+    if variant[2] == "pallas_wide" and batch_size is not None:
+        # total-frames ceiling of the wide kernel (measured crossover to
+        # vmapped pallas scoring between 0.64M and 1.28M frames/call)
+        _, fshift = frame_geometry(fs, cfg.mfcc.win_length_ms,
+                                   cfg.mfcc.win_shift_ms)
+        frames = batch_size * max(padded_len // fshift - 1, 1)
+        if frames > _WIDE_SCORING_MAX_FRAMES:
+            variant = (variant[0], variant[1], "pallas")
     return variant
 
 

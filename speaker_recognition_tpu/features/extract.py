@@ -77,12 +77,13 @@ def _matmul_precision() -> str:
     3.9e-3 LPC; highest -> 2.5e-5 / 1e-6. Cost at the headline serving
     config (B=512, 5 s utts): high -35% throughput, highest -45%.
     Accuracy impact, measured on the NON-SATURATED hard corpus (20
-    speakers, 2500 3 s tests per knob, r3_accuracy_hard.jsonl): default
-    0.9608, high 0.9672, highest 0.9656 — the paired per-seed deltas are
-    within noise (<=1.5 sigma), so throughput keeps 'default'; set
-    'highest' when f64-scale feature parity with the reference matters
-    more than speed. Raised precision serves the XLA program (Mosaic
-    in-kernel dots reject HIGH/HIGHEST; see _use_pallas)."""
+    speakers, 10 paired seeds x 5000 3 s tests per knob, TPU backend,
+    r4_accuracy_hard.jsonl): raised precision buys +0.24% +- 0.84%
+    accuracy (95% CI, t=0.65, seeds split 5/5) — not significant — so
+    throughput keeps 'default'; set 'highest' when f64-scale feature
+    parity with the reference matters more than speed. Raised precision
+    serves the XLA program (Mosaic in-kernel dots reject HIGH/HIGHEST;
+    see _use_pallas)."""
     import os
     return os.environ.get("SRTPU_MATMUL_PRECISION", "default")
 
@@ -92,7 +93,7 @@ def _frontend_matmul_dtype() -> str:
 
     The bf16-operand variant remains measurable through the variant axis
     of api/fastpath.predict_scores_fn and experiments/bench_geometry.py,
-    but the r3 variance-aware sweep (results/r3_geometry_sweep.jsonl)
+    but the r3/r4 variance-aware sweeps (results/r4_geometry_sweep.jsonl)
     found it never faster than f32 beyond the recorded IQR at any swept
     geometry — on TPU the DEFAULT f32 matmul already runs as a single
     bf16 MXU pass, so explicit bf16 operands only shrink operand bytes.

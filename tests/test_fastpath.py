@@ -106,7 +106,7 @@ def test_measured_dispatch_table_wellformed(monkeypatch):
     the matmul precision serves the bit-compatible XLA parity program.
     (The speed side — chosen variant >= the XLA floor at every swept
     geometry — is asserted on the chip in tests_tpu/test_tpu_dispatch.py
-    against experiments/results/r3_geometry_sweep.jsonl.)"""
+    against experiments/results/r4_geometry_sweep.jsonl.)"""
     fronts, mms = {"xla", "pallas"}, {"f32", "bf16"}
     scorings = {"xla", "xla_wide", "pallas", "pallas_wide"}
     for key, (front, mm, scoring) in fastpath._MEASURED_DISPATCH.items():
