@@ -253,30 +253,41 @@ def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
     return jnp.einsum("sbt,bt->bs", lse, m) / cnt[:, None]
 
 
-# Measured on v5e (experiments/bench_bank.py): XLA wins below ~2k
-# (speaker, component) pairs where the logp tensor still fuses; the Pallas
-# kernel wins ~5x at S*K ~ 3200 where XLA materializes it in HBM.
+# BATCHED-path large-bank gate (interface.predict_batch fallback): the
+# WIDE kernel wins ~6x at S*K >= 2048 in batched form (r4 sweep: ubm_bank
+# 4.04 vs 26.0 ms XLA; confirmed at every large-bank geometry), while XLA
+# fuses the logp tensor fine below that. NOT used by the serial path —
+# see serial_scoring_variant (serial measurements sit on the dispatch
+# floor and the kernel loses at the largest bank).
 _PALLAS_MIN_SK = 2048
 
 
 def serial_scoring_variant(S: int, K: int, dtype) -> str:
     """Host-side dispatch for the SERIAL (one-utterance) scoring path:
-    'xla' | 'pallas' | 'pallas_interpret', by bank size, dtype and the
-    SRTPU_PALLAS env contract. Kept outside jit so env changes take effect
-    per call; the jitted programs themselves are variant-static
-    (models/gmmset._serial_scores)."""
+    'xla' | 'pallas' | 'pallas_interpret'. Kept outside jit so env changes
+    take effect per call; the jitted programs themselves are variant-static
+    (models/gmmset._serial_scores).
+
+    Under 'auto' this always serves the XLA program. The r1-era
+    S*K >= 2048 pallas gate was re-swept under the r4 methodology on the
+    jitted serial path (experiments/results/r4_serial_scoring.jsonl,
+    one bucketed [256, 28] utterance, median of 5 + IQR): every bank size
+    sits on the ~1 ms per-program dispatch floor, no pallas win exceeds
+    the IQR anywhere, and at the largest bank (S*K = 20480) the kernel
+    clearly LOSES (1.334 vs 1.103 ms, margin 4x the IQR) — the old gate
+    dispatched the measured-slower program exactly where it claimed to
+    help (VERDICT r3 weak 5). Explicit SRTPU_PALLAS=on/interpret still
+    forces the kernel (tests, kernel development)."""
     import os
 
     import jax
 
     mode = os.environ.get("SRTPU_PALLAS", "auto")
-    big_enough = S * K >= _PALLAS_MIN_SK
-    f32 = jnp.dtype(dtype) == jnp.float32
-    if mode in ("0", "off") or not f32 or not big_enough:
+    if jnp.dtype(dtype) != jnp.float32:
         return "xla"
     if mode == "interpret":
         return "pallas_interpret"
-    if mode in ("1", "on") or jax.default_backend() == "tpu":
+    if mode in ("1", "on"):
         return ("pallas" if jax.default_backend() == "tpu"
                 else "pallas_interpret")
     return "xla"
