@@ -13,10 +13,13 @@ Usage: python experiments/make_synth_corpus.py /tmp/synthcorpus --speakers 20 --
 
 import argparse
 import os
+import sys
 
 import numpy as np
 import scipy.io.wavfile as wavfile
 import scipy.signal as sig
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
 
 FS = 8000
 
@@ -152,18 +155,73 @@ def _stabilize(A, max_radius=0.97):
     return np.real(np.poly(r))
 
 
-def _warp_poles(A, angle_scale):
-    """Vocal-tract-length-style warp: scale every pole's angle."""
+def _warp_poles(A, angle_scale, radius_pow=1.0):
+    """Vocal-tract-length-style warp: scale every pole's angle; optional
+    bandwidth warp via a power on the pole radii (radius_pow > 1 widens
+    formant bandwidths, < 1 sharpens)."""
     r = np.roots(A)
-    warped = np.abs(r) * np.exp(1j * np.angle(r) * angle_scale)
+    warped = np.abs(r) ** radius_pow * np.exp(1j * np.angle(r) * angle_scale)
     return np.real(np.poly(warped))
 
 
-def make_ubm_speaker(rng, phones, speaker_spread=0.04):
+def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0):
+    """Quality-select the phone inventory: synthesize each candidate
+    component with pulse excitation and keep the `keep` components whose
+    output scores best under the UBM itself (self-likelihood ranking).
+
+    The UBM mixes voiced-speech components with whisper/fricative/noise
+    ones whose mean-LPC filters make poor pulse-excited phones (measured
+    self-ll spread: -72 to -28 across 96 candidates); selecting the top
+    quartile moved the corpus-level anchor score from ~ -55 to ~ -45
+    (experiments/results/r4_ubm_anchor.jsonl). All candidates score
+    better under pulse than noise excitation (voiced fraction 1.0 in the
+    r4 measurement), so a per-phone excitation mode is unnecessary."""
+    import jax.numpy as jnp
+    import scipy.signal as _sig
+    from speaker_recognition_tpu.models import gmm as _gmm
+    from speaker_recognition_tpu.features import extract as _extract
+    from speaker_recognition_tpu.config import (FeatureConfig, LpcConfig,
+                                                bob_mfcc_config)
+    from speaker_recognition_tpu.utils import serialization
+    with open(path) as f:
+        ubm = serialization.load_reference_gmm(f)
+    cfg = FeatureConfig(mfcc=bob_mfcc_config(cmvn=False), lpc=LpcConfig(),
+                        use_lpc=True)
+    p = _gmm.GmmParams(*(jnp.asarray(a, jnp.float32) for a in ubm))
+    w, A, mf = load_ubm_phones(path, candidates, seed)
+    rng = np.random.RandomState(seed)
+    t = np.arange(FS)
+    scores = []
+    for j in range(len(w)):
+        Aj = _stabilize(A[j])
+        f0 = 140.0
+        ph = np.cumsum(np.full(FS, f0 * (1 + 0.1 * np.sin(
+            2 * np.pi * 3 * t / FS)))) / FS
+        exc = (np.diff(np.floor(ph), prepend=0) > 0).astype(float) \
+            * np.sqrt(FS / f0) + 0.08 * rng.randn(FS)
+        x = _sig.lfilter([1.0], [1.0, -0.95], _sig.lfilter([1.0], Aj, exc))
+        x = x / np.abs(x).max() * 9000
+        feat = _extract.mix_feature(FS, x.astype(np.float64), cfg)
+        scores.append(float(np.asarray(_gmm.per_frame_loglik(
+            p, jnp.asarray(feat, jnp.float32), 1e-15)).mean()))
+    idx = np.argsort(np.asarray(scores))[-keep:]
+    return w[idx] / w[idx].sum(), A[idx], mf[idx]
+
+
+def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.05):
+    """A speaker = global vocal-tract-length warp + F0 + breathiness PLUS
+    a per-phone 'accent': independent angle/bandwidth perturbations of
+    each phone's poles. The global warp alone leaves speakers nearly
+    indistinguishable to a CMVN'd GMM (measured 0.27 accuracy at 20
+    speakers); phone_jitter is the speaker-identity knob that tunes the
+    closed-set curve into the reference's regime."""
     w, A, _ = phones
+    P = len(w)
     return {
         "f0": 95 + rng.rand() * 130,
         "angle_scale": 1.0 + speaker_spread * rng.randn(),
+        "phone_angle": 1.0 + phone_jitter * rng.randn(P),
+        "phone_radius": 1.0 + 0.5 * phone_jitter * rng.randn(P),
         "breath": 0.08 + rng.rand() * 0.12,
         "vibrato": 2 + rng.rand() * 4,
         # per-speaker phone-frequency tilt (speaking-style idiosyncrasy)
@@ -172,10 +230,18 @@ def make_ubm_speaker(rng, phones, speaker_spread=0.04):
 
 
 def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
-              unvoiced_frac=0.25):
+              unvoiced_frac=0.25, breath_scale=1.0, jitter=0.15,
+              shimmer=0.25, attack_ms=20.0, pause_p=0.05):
     """One utterance: random phone sequence, glottal-pulse/noise excitation
     through the (speaker-warped, session-drifted) UBM all-pole filters in
-    the pre-emphasis domain, then de-emphasis."""
+    the pre-emphasis domain, then de-emphasis.
+
+    The aperiodicity knobs (jitter = per-period F0 perturbation, shimmer =
+    per-pulse amplitude perturbation, breath_scale on the speaker's
+    aspiration level) were tuned against the UBM typical-set check
+    (experiments/ubm_anchor.py): an overly regular pulse train leaves a
+    harmonic comb in the log-mel spectrum that real speech does not have,
+    which showed up as +2sigma means on mid cepstral dims."""
     _, A_all, _ = phones
     n = int(FS * seconds)
     out = np.zeros(n)
@@ -186,17 +252,22 @@ def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
     zi = None
     stab_cache = {}
     while pos < n:
-        if rng.rand() < 0.12:  # brief pause between phone runs
+        if rng.rand() < pause_p:  # brief pause between phone runs
             dur = int(FS * (0.03 + 0.1 * rng.rand()))
-            out[pos:pos + dur] += 0.003 * rng.randn(
-                min(dur, n - pos)) if pos + dur <= n else 0.0
+            end = min(pos + dur, n)
+            out[pos:end] += 0.003 * rng.randn(end - pos)
             pos += dur
             zi = None
             continue
         k = rng.choice(len(pw), p=pw)
         if k not in stab_cache:
             stab_cache[k] = _stabilize(A_all[k])
-        A = _stabilize(_warp_poles(stab_cache[k], angle_scale))
+        pa = spk.get("phone_angle")
+        pr = spk.get("phone_radius")
+        A = _stabilize(_warp_poles(
+            stab_cache[k],
+            angle_scale * (pa[k] if pa is not None else 1.0),
+            (pr[k] if pr is not None else 1.0)))
         dur = int(FS * (0.06 + 0.14 * rng.rand()))
         dur = min(dur, n - pos)
         if dur <= 0:
@@ -204,19 +275,26 @@ def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
         t = np.arange(dur) / FS
         voiced = rng.rand() > unvoiced_frac
         if voiced:
+            # F0 contour: vibrato + slow random walk; per-sample jitter is
+            # integrated into the phase so each period's length varies
+            walk = np.cumsum(rng.randn(dur)) / np.sqrt(max(dur, 1))
             f0 = f0_base * (1 + 0.03 * np.sin(
                 2 * np.pi * spk["vibrato"] * (t + pos / FS))
-                + 0.02 * rng.randn())
+                + 0.03 * walk
+                + jitter * np.repeat(rng.randn(dur // 64 + 1), 64)[:dur])
             phase = np.cumsum(np.maximum(f0, 40.0)) / FS + rng.rand()
-            exc = (np.diff(np.floor(phase), prepend=np.floor(phase[0]))
-                   > 0).astype(np.float64) * np.sqrt(FS / f0_base)
-            exc = exc + spk["breath"] * rng.randn(dur)
+            pulses = (np.diff(np.floor(phase), prepend=np.floor(phase[0]))
+                      > 0).astype(np.float64)
+            # shimmer: each pulse gets its own amplitude
+            amp = 1.0 + shimmer * rng.randn(int(pulses.sum()) or 1)
+            pulses[pulses > 0] = np.abs(amp[: int(pulses.sum())])
+            exc = pulses * np.sqrt(FS / f0_base)
+            exc = exc + breath_scale * spk["breath"] * rng.randn(dur)
         else:
             exc = rng.randn(dur)
-        # amplitude contour per phone (attack/decay)
         env = np.minimum(1.0, np.minimum(
-            np.arange(dur) / (0.01 * FS),
-            (dur - np.arange(dur)) / (0.01 * FS)))
+            np.arange(dur) / (attack_ms * 1e-3 * FS),
+            (dur - np.arange(dur)) / (attack_ms * 1e-3 * FS)))
         exc = exc * (0.5 + 0.5 * rng.rand()) * np.clip(env, 0.05, 1.0)
         seg, zi_new = sig.lfilter([1.0], A, exc, zi=np.zeros(len(A) - 1)
                                   if zi is None or len(zi) != len(A) - 1
@@ -244,7 +322,13 @@ def main():
                     help="UBM-anchored speakers: all-pole vocal tracts from "
                          "the reference's shipped 256-mix UBM (see header)")
     ap.add_argument("--ubm-path", default=UBM_PATH)
-    ap.add_argument("--phones", type=int, default=48)
+    ap.add_argument("--phones", type=int, default=96,
+                    help="ubm mode: candidate components for selection")
+    ap.add_argument("--keep-phones", type=int, default=24,
+                    help="ubm mode: phones kept by self-likelihood ranking")
+    ap.add_argument("--phone-jitter", type=float, default=0.05,
+                    help="ubm mode: per-speaker per-phone pole perturbation "
+                         "(the speaker-identity / difficulty knob)")
     ap.add_argument("--prototypes", type=int, default=8)
     ap.add_argument("--speaker-spread", type=float, default=0.10)
     ap.add_argument("--session-spread", type=float, default=0.03)
@@ -257,20 +341,57 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.RandomState(args.seed)
     if args.ubm:
-        phones = load_ubm_phones(args.ubm_path, args.phones, args.seed)
+        phones = select_ubm_phones(args.ubm_path, args.phones,
+                                   args.keep_phones, args.seed)
         spread = (args.speaker_spread if args.speaker_spread != 0.10
                   else 0.04)  # ubm-mode default
+        sess = (args.session_spread if args.session_spread != 0.03
+                else 0.015)  # ubm-mode default (0.03 is the hard-mode one)
+
+        # Speaker-level cast selection: the warp/jitter draws have a tail
+        # of voices whose spectra fall off the UBM manifold (measured:
+        # 40-draw corpora score ~4 nats worse than 6-draw probes). Each
+        # candidate speaker is probed with a short utterance and redrawn
+        # while its mean per-frame UBM ll is under the gate -- rejection
+        # on REALISM only, never on distinctness, so the identity knobs
+        # (phone_jitter, spread) keep their meaning.
+        import jax.numpy as _jnp
+        from speaker_recognition_tpu.models import gmm as _gmm
+        from speaker_recognition_tpu.features import extract as _extract
+        from speaker_recognition_tpu.config import (FeatureConfig,
+                                                    LpcConfig,
+                                                    bob_mfcc_config)
+        from speaker_recognition_tpu.utils import serialization as _ser
+        with open(args.ubm_path) as f:
+            _ubm = _ser.load_reference_gmm(f)
+        _p = _gmm.GmmParams(*(_jnp.asarray(a, _jnp.float32) for a in _ubm))
+        _cfg34 = FeatureConfig(mfcc=bob_mfcc_config(cmvn=False),
+                               lpc=LpcConfig(), use_lpc=True)
+
+        def speaker_ll(spk, probe_rng):
+            wav = synth_ubm(spk, phones, 4.0, probe_rng,
+                            session_spread=0.0)
+            feat = _extract.mix_feature(FS, wav.astype(np.float64), _cfg34)
+            return float(np.asarray(_gmm.per_frame_loglik(
+                _p, _jnp.asarray(feat, _jnp.float32), 1e-15)).mean())
+
+        SPK_LL_GATE = -52.0
         for i in range(args.speakers):
-            spk = make_ubm_speaker(rng, phones, spread)
+            for attempt in range(12):
+                spk = make_ubm_speaker(rng, phones, spread,
+                                       args.phone_jitter)
+                if speaker_ll(spk, np.random.RandomState(1000 + i)) \
+                        >= SPK_LL_GATE:
+                    break
             seg_s = args.seconds / args.segments
             wav = np.concatenate([
-                synth_ubm(spk, phones, seg_s, rng,
-                          session_spread=args.session_spread)
+                synth_ubm(spk, phones, seg_s, rng, session_spread=sess)
                 for _ in range(args.segments)])
             wavfile.write(os.path.join(args.outdir, f"spk_{i:03d}.wav"),
                           FS, wav)
         print(f"wrote {args.speakers} UBM-ANCHORED speakers "
-              f"({args.phones} phones from {args.ubm_path}, spread "
+              f"({args.keep_phones}/{args.phones} selected phones from "
+              f"{args.ubm_path}, spread "
               f"{spread}/{args.session_spread}) x {args.seconds}s "
               f"to {args.outdir}")
         return

@@ -103,16 +103,26 @@ class ModelInterface:
 
     def predict_batch(self, fs: int, signals) -> list:
         """Batched prediction: features + bank scoring for many utterances
-        in one padded device program. Returns labels in input order."""
+        in one padded device program. Returns labels in input order.
+
+        The batch axis is padded up to a bucket (powers of two, min 8) so
+        production callers with varying batch sizes reuse one compiled
+        program per bucket instead of compiling per distinct B (a fresh
+        fused-program compile costs seconds through the remote backend);
+        padded rows have zero length, score as invalid and are dropped."""
         assert self.gmmset.bank is not None
         sigs = [np.asarray(s, np.float64) for s in signals]
         for i, s in enumerate(sigs):
             if s.ndim > 1:
                 sigs[i] = s.mean(axis=1)
+        n_real = len(sigs)
+        B = 8
+        while B < n_real:
+            B *= 2
         L = max(len(s) for s in sigs)
         L = -(-L // extract.LENGTH_BUCKET) * extract.LENGTH_BUCKET
-        batch = np.zeros((len(sigs), L), np.float32)
-        lengths = np.zeros(len(sigs), np.int32)
+        batch = np.zeros((B, L), np.float32)
+        lengths = np.zeros(B, np.int32)
         for i, s in enumerate(sigs):
             batch[i, : len(s)] = s
             lengths[i] = len(s)
@@ -152,9 +162,10 @@ class ModelInterface:
         # an eager per-shape op dispatch (and compile on first use)
         idx = np.asarray(scores).argmax(axis=-1)
         # an utterance with no valid frames (too short / VAD-stripped) ties
-        # every speaker at 0.0 — report None like the serial predict() path
+        # every speaker at 0.0 — report None like the serial predict() path;
+        # batch-bucket padding rows are sliced off
         return [self.gmmset.y[int(i)] if ok else None
-                for i, ok in zip(idx, valid)]
+                for i, ok in zip(idx[:n_real], valid[:n_real])]
 
     # -- persistence -------------------------------------------------------
 
