@@ -85,16 +85,26 @@ class ModelInterface:
 
     def predict(self, fs: int, signal):
         """Label of one utterance, or None on feature failure
-        (interface.py:85-94)."""
+        (interface.py:85-94).
+
+        Routed through the batched one-program path (B padded to the
+        minimum batch bucket): the serial alternative — a feature program
+        call plus a scoring program call — costs two remote round trips
+        (~30 ms each through the device tunnel, r4_serial_diag.jsonl);
+        this is one program, one score fetch. Decision semantics are
+        identical (same masked features, same masked average scores)."""
         try:
-            feat = extract.mix_feature(fs, np.asarray(signal),
-                                       self.config.features,
-                                       dtype=self.config.dtype)
+            signal = np.asarray(signal)
+            mf = self.config.features.mfcc
+            flen, _ = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
+            n = signal.shape[0]
+            if n <= 5 * flen:
+                raise ValueError("Signal too short!")  # MFCC.py:56
+            return self.predict_batch(fs, [signal])[0]
         except Exception:
             import traceback
             traceback.print_exc()
             return None
-        return self.gmmset.predict_one(feat)
 
     def predict_with_rejection(self, fs: int, signal):
         feat = extract.mix_feature(fs, np.asarray(signal),
