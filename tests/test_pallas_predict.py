@@ -127,3 +127,24 @@ def test_levinson_unrolled_matches_loop():
     gz = np.asarray(pallas_predict._levinson_unrolled_T(
         jnp.asarray(rz).T, 15)).T
     assert (gz == 0).all()
+
+
+@pytest.mark.parametrize("use_lpc", [True, False])
+def test_fused_predict_wide_matches_unfused(use_lpc):
+    """Monolith v2 (transposed batched scoring) is numerically exact vs
+    the XLA program. It is a MEASURED NEGATIVE RESULT for dispatch (15x
+    slower than the two-kernel pipeline on-chip; see the _run_wide
+    docstring) but stays correctness-pinned as a reference point."""
+    fcfg = FeatureConfig(use_lpc=use_lpc)
+    flen, fshift, D, W, dct_np, A, floor = _operators(fcfg)
+    signals, lengths, n_valid = _batch(fcfg, B=4)
+    bank = _bank(3, 8, fcfg.dim)
+
+    want = np.asarray(_reference_scores(signals, lengths, bank, fcfg))
+    got = np.asarray(pallas_predict.fused_bank_predict_wide(
+        signals, n_valid, bank, fshift, D, W, dct_np, floor,
+        A if use_lpc else None, cmvn=fcfg.mfcc.cmvn, interpret=True,
+        utt_tile=2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
