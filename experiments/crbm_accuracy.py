@@ -115,7 +115,7 @@ def main():
             accs["gmm"].append(correct / len(tests))
 
             # CRBM bank (argmin reconstruction error), reference settings
-            cfg = crbm_mod.CrbmTrainConfig(n_epochs=2000, batch_size=T)
+            cfg = crbm_mod.speaker_task_config(T)
             bank = crbm_mod.fit_bank(jnp.asarray(Xs), jnp.asarray(masks),
                                      args.hidden, cfg,
                                      jax.random.PRNGKey(seed))

@@ -61,6 +61,19 @@ class CrbmTrainConfig(NamedTuple):
     momentum: float = 0.9        # crbm.hh:71
 
 
+def speaker_task_config(n_frames: int) -> "CrbmTrainConfig":
+    """The reference's SPEAKER-identification trainer settings
+    (overall_test_train_crbm, src/nn/src/main.cc:422-439): FULL-batch
+    training (batch_train_size = X.size()) for 2000 epochs at lr 0.1 /
+    CD-1, on at most ~1000 frames per speaker (overall_test_get_data's
+    nr_data_max). The class defaults above are crbm.hh's GENERIC defaults;
+    on speech features the minibatch-100 regime diverges for a fraction
+    of speakers (measured near-chance bank classification vs clean
+    separation under these settings — experiments/crbm_accuracy.py,
+    r4_crbm_accuracy.jsonl), so pass this config for enrollment banks."""
+    return CrbmTrainConfig(n_epochs=2000, batch_size=max(int(n_frames), 1))
+
+
 def _scaled_sigmoid(x, lo, hi):
     return lo + (hi - lo) * jax.nn.sigmoid(x)
 
