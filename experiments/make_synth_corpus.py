@@ -208,7 +208,7 @@ def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0):
     return w[idx] / w[idx].sum(), A[idx], mf[idx]
 
 
-def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.05):
+def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.065):
     """A speaker = global vocal-tract-length warp + F0 + breathiness PLUS
     a per-phone 'accent': independent angle/bandwidth perturbations of
     each phone's poles. The global warp alone leaves speakers nearly
@@ -326,9 +326,11 @@ def main():
                     help="ubm mode: candidate components for selection")
     ap.add_argument("--keep-phones", type=int, default=24,
                     help="ubm mode: phones kept by self-likelihood ranking")
-    ap.add_argument("--phone-jitter", type=float, default=0.05,
+    ap.add_argument("--phone-jitter", type=float, default=0.065,
                     help="ubm mode: per-speaker per-phone pole perturbation "
-                         "(the speaker-identity / difficulty knob)")
+                         "(the speaker-identity / difficulty knob; 0.065 "
+                         "measured jointly best for realism gap AND "
+                         "reference-regime accuracy, r4_ubm_anchor.jsonl)")
     ap.add_argument("--prototypes", type=int, default=8)
     ap.add_argument("--speaker-spread", type=float, default=0.10)
     ap.add_argument("--session-spread", type=float, default=0.03)
@@ -344,7 +346,8 @@ def main():
         phones = select_ubm_phones(args.ubm_path, args.phones,
                                    args.keep_phones, args.seed)
         spread = (args.speaker_spread if args.speaker_spread != 0.10
-                  else 0.04)  # ubm-mode default
+                  else 0.03)  # ubm-mode default (v6+: phone_jitter carries
+                              # identity; the global warp stays small)
         sess = (args.session_spread if args.session_spread != 0.03
                 else 0.015)  # ubm-mode default (0.03 is the hard-mode one)
 
