@@ -177,6 +177,24 @@ class ModelInterface:
         return [self.gmmset.y[int(i)] if ok else None
                 for i, ok in zip(idx[:n_real], valid[:n_real])]
 
+    def warmup(self, fs: int, durations=(1.5, 3.0, 5.0), batch_sizes=(1,)):
+        """Pre-compile the serving programs for the given utterance
+        durations (length buckets) and batch sizes.
+
+        First contact with a new length bucket costs a program
+        build/load (~2-4 s through a remote backend even with a warm
+        persistent cache — r4_serial_diag.jsonl); a serving deployment
+        calls this once at startup so no user request pays it. The
+        duration list defaults to the conversation window and the common
+        test-clip lengths. Requires a trained bank."""
+        assert self.gmmset.bank is not None, "train() before warmup()"
+        for b in batch_sizes:
+            for dur in durations:
+                n = int(fs * dur)
+                sig = np.zeros(n, np.float32)
+                sig[: min(n, 2048)] = 1.0  # non-silent, deterministic
+                self.predict_batch(fs, [sig] * max(int(b), 1))
+
     # -- persistence -------------------------------------------------------
 
     def dump(self, fname: str):

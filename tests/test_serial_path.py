@@ -81,3 +81,28 @@ def test_llr_scores_single_program(trained_set):
     want_u = float(gmm.avg_loglik(bank_u, jnp.asarray(X),
                                   jnp.ones(73, bool)))
     assert ubm_score == pytest.approx(want_u, rel=2e-5, abs=2e-5)
+
+
+def test_warmup_precompiles_buckets():
+    """ModelInterface.warmup compiles the serving programs for the given
+    durations so the first real predict at those lengths is a cache hit
+    (cold-start cost moved to startup; r4_serial_diag.jsonl)."""
+    import scipy.io.wavfile  # noqa: F401  (keep import surface identical)
+    from speaker_recognition_tpu.api.interface import ModelInterface
+    from speaker_recognition_tpu.config import PipelineConfig
+
+    rng = np.random.RandomState(0)
+    m = ModelInterface(PipelineConfig())
+    fs = 8000
+    for name, f0 in [("a", 150.0), ("b", 110.0)]:
+        t = np.arange(fs * 8) / fs
+        sig = (np.sin(2 * np.pi * f0 * t) * 9000).astype(np.int16)
+        m.enroll(name, fs, sig)
+    m.train()
+    m.warmup(fs, durations=(1.5, 3.0), batch_sizes=(1,))
+    # post-warmup predicts at those durations must not error and must
+    # return a valid label
+    for dur in (1.5, 3.0):
+        t = np.arange(int(fs * dur)) / fs
+        clip = (np.sin(2 * np.pi * 150.0 * t) * 9000).astype(np.int16)
+        assert m.predict(fs, clip) in ("a", "b")
