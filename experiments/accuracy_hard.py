@@ -140,8 +140,10 @@ def main():
             TCRIT = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57,
                      7: 2.45, 8: 2.36, 9: 2.31, 10: 2.26, 11: 2.23,
                      12: 2.20, 15: 2.14, 20: 2.09, 25: 2.06, 30: 2.05}
-            tc = TCRIT.get(m, min((v for k_, v in TCRIT.items() if k_ >= m),
-                                  default=1.96))
+            # smallest tabulated key >= m (t decreases with df, so this is
+            # the conservative neighbor); beyond the table, normal 1.96
+            above = [k_ for k_ in TCRIT if k_ >= m]
+            tc = TCRIT[min(above)] if above else 1.96
             emit({"kind": "precision_paired", "knob": name,
                   "vs": "default", "n_seeds": m,
                   "delta_mean": round(float(d.mean()), 4),

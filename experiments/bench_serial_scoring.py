@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Serial-path scoring gate re-sweep (VERDICT r3 weak 5 / item 4).
 
-pallas_gmm.serial_scoring_variant gates the fused scoring kernel on the
-SERIAL (one-utterance) path at S*K >= _PALLAS_MIN_SK, a threshold set from
-r1-era single-trial data. This sweep re-measures it under the r3
-methodology on the r4 JITTED serial path: per-call wall of the bucketed
+The r1-era serial gate dispatched the fused scoring kernel on the SERIAL
+(one-utterance) path at S*K >= _PALLAS_MIN_SK, a threshold set from
+single-trial data; this sweep re-measured it under the r3 methodology on
+the r4 JITTED serial path (and retired it — serial auto now always
+serves XLA, pallas_gmm.serial_scoring_variant): per-call wall of the bucketed
 _serial_scores program (the conversation-tick shape: one [Tp, d]
 utterance) for each variant across bank sizes, median of >=5 blocks + IQR.
 

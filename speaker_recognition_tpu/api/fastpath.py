@@ -207,10 +207,14 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
     return variant
 
 
-# Variants that failed to build/compile at some geometry this process
-# (e.g. a Mosaic scoped-VMEM OOM on a backend with a tighter limit than
-# the sweep machine's): serving must degrade to the XLA floor, not crash.
+# Variants that failed on their FIRST call at some geometry this process
+# (compile happens then — e.g. a Mosaic scoped-VMEM OOM on a backend with
+# a tighter limit than the sweep machine's): serving must degrade to the
+# XLA floor, not crash. A variant that has succeeded at a geometry before
+# (_OK_VARIANTS) is never marked broken by a later TRANSIENT failure —
+# that call falls back once and the fast variant is retried next call.
 _BROKEN_VARIANTS: set[tuple] = set()
+_OK_VARIANTS: set[tuple] = set()
 
 
 def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
@@ -246,11 +250,20 @@ def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
         fn = predict_scores_fn(fs, cfg, padded_len, *v, interpret,
                                extract._matmul_precision())
         try:
-            return fn(*args)
+            out = fn(*args)
+            _OK_VARIANTS.add(key)
+            return out
         except Exception as e:  # noqa: BLE001 - compile/launch failure
             import sys
-            _BROKEN_VARIANTS.add(key)
+            if key not in _OK_VARIANTS:
+                # first call at this geometry = the compile: a failure
+                # here is deterministic, never retry
+                _BROKEN_VARIANTS.add(key)
+                verdict = "marked broken"
+            else:
+                verdict = "transient; will retry next call"
             print(f"# fastpath variant {v} failed at geometry "
                   f"(B={B}, padded={padded_len}, S={S}, K={K}): "
-                  f"{type(e).__name__}; falling back", file=sys.stderr)
+                  f"{type(e).__name__}; falling back ({verdict})",
+                  file=sys.stderr)
     return None

@@ -92,19 +92,22 @@ class ModelInterface:
         call plus a scoring program call — costs two remote round trips
         (~30 ms each through the device tunnel, r4_serial_diag.jsonl);
         this is one program, one score fetch. Decision semantics are
-        identical (same masked features, same masked average scores)."""
+        identical (same masked features, same masked average scores).
+
+        Matching the reference, only FEATURE failures (unreadable input,
+        signal too short) map to None; programming errors — predicting
+        before train(), a broken scoring path — still raise."""
+        assert self.gmmset.bank is not None, "train() must run before predict"
         try:
             signal = np.asarray(signal)
-            mf = self.config.features.mfcc
-            flen, _ = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
-            n = signal.shape[0]
-            if n <= 5 * flen:
+            if extract.signal_too_short(fs, self.config.features,
+                                        int(signal.shape[0])):
                 raise ValueError("Signal too short!")  # MFCC.py:56
-            return self.predict_batch(fs, [signal])[0]
         except Exception:
             import traceback
             traceback.print_exc()
             return None
+        return self.predict_batch(fs, [signal])[0]
 
     def predict_with_rejection(self, fs: int, signal):
         feat = extract.mix_feature(fs, np.asarray(signal),
@@ -131,7 +134,12 @@ class ModelInterface:
             B *= 2
         L = max(len(s) for s in sigs)
         L = -(-L // extract.LENGTH_BUCKET) * extract.LENGTH_BUCKET
-        batch = np.zeros((B, L), np.float32)
+        # keep f64 signals full-width when the pipeline runs in float64
+        # (the parity path: extract.py keeps a float64 padded signal
+        # end to end); everything else serves in f32
+        batch_dt = (np.float64 if jnp.dtype(self.config.dtype) == jnp.float64
+                    else np.float32)
+        batch = np.zeros((B, L), batch_dt)
         lengths = np.zeros(B, np.int32)
         for i, s in enumerate(sigs):
             batch[i, : len(s)] = s

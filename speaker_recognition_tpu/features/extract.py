@@ -370,6 +370,15 @@ def _pad_to_bucket(signal: np.ndarray) -> np.ndarray:
     return out
 
 
+def signal_too_short(fs: int, cfg: FeatureConfig, n_samples: int) -> bool:
+    """The reference's minimum-length rule (MFCC.py:56: <= 5 frame lengths
+    raises 'Signal too short!'). One source of truth for every caller that
+    must agree with mix_feature on which signals are extractable."""
+    flen, _ = frame_geometry(fs, cfg.mfcc.win_length_ms,
+                             cfg.mfcc.win_shift_ms)
+    return n_samples <= 5 * flen
+
+
 def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
                 dtype: str = "float32") -> np.ndarray:
     """Single-utterance convenience wrapper: concat(MFCC, LPC) per frame.
@@ -382,7 +391,7 @@ def mix_feature(fs: int, signal, cfg: FeatureConfig = FeatureConfig(),
         signal = signal.mean(axis=1)
     mf = cfg.mfcc
     flen, fshift = frame_geometry(fs, mf.win_length_ms, mf.win_shift_ms)
-    if len(signal) <= 5 * flen:
+    if signal_too_short(fs, cfg, len(signal)):
         raise ValueError("Signal too short!")  # MFCC.py:56
     T = n_frames(len(signal), flen, fshift)
     if dtype == "float64":

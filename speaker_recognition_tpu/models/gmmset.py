@@ -42,8 +42,8 @@ def _serial_scores(bank: gmm.GmmParams, X: jnp.ndarray, mask: jnp.ndarray,
                    variant: str = "xla") -> jnp.ndarray:
     """One padded utterance [Tp, d] against the bank -> [S], jitted.
 
-    variant comes from pallas_gmm.serial_scoring_variant (host-side env /
-    bank-size dispatch, static here so each variant is its own program)."""
+    variant comes from pallas_gmm.serial_scoring_variant (host-side env
+    dispatch, static here so each variant is its own program)."""
     if variant == "pallas" or variant == "pallas_interpret":
         from ..ops import pallas_gmm
         return pallas_gmm.bank_avg_loglik(
@@ -189,8 +189,7 @@ class GMMSet:
         from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
         Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
-        S, K = self.bank.weights.shape
-        variant = serial_scoring_variant(S, K, dt)
+        variant = serial_scoring_variant(dt)
         return np.asarray(_serial_scores(
             self._device_bank(), jnp.asarray(Xp), jnp.asarray(mask), variant))
 
@@ -203,8 +202,7 @@ class GMMSet:
         from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
         Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
-        S, K = self.bank.weights.shape
-        variant = serial_scoring_variant(S, K, dt)
+        variant = serial_scoring_variant(dt)
         scores, ubm_score = _serial_scores_with_ubm(
             self._device_bank(), self._device_ubm(), jnp.asarray(Xp),
             jnp.asarray(mask), variant)

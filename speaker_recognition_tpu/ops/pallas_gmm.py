@@ -262,7 +262,7 @@ def batch_bank_avg_loglik(bank: gmm_mod.GmmParams, feats: jnp.ndarray,
 _PALLAS_MIN_SK = 2048
 
 
-def serial_scoring_variant(S: int, K: int, dtype) -> str:
+def serial_scoring_variant(dtype) -> str:
     """Host-side dispatch for the SERIAL (one-utterance) scoring path:
     'xla' | 'pallas' | 'pallas_interpret'. Kept outside jit so env changes
     take effect per call; the jitted programs themselves are variant-static
@@ -293,14 +293,6 @@ def serial_scoring_variant(S: int, K: int, dtype) -> str:
     return "xla"
 
 
-def bank_avg_loglik_auto(bank: gmm_mod.GmmParams, X: jnp.ndarray,
-                         mask: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch between the XLA path and the fused kernel by bank size and
-    backend (same SRTPU_PALLAS env contract as the feature frontend)."""
-    S, K = bank.weights.shape
-    variant = serial_scoring_variant(S, K, X.dtype)
-    if variant == "pallas":
-        return bank_avg_loglik(bank, X, mask)
-    if variant == "pallas_interpret":
-        return bank_avg_loglik(bank, X, mask, interpret=True)
-    return gmm_mod.bank_avg_loglik(bank, X, mask)
+# (the r1-r3 `bank_avg_loglik_auto` wrapper is gone: its only caller,
+# GMMSet._scores, now dispatches through serial_scoring_variant into the
+# jitted variant-static programs in models/gmmset)

@@ -19,8 +19,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.realpath(__file__))), "experiments"))
 
 from make_synth_corpus import (  # noqa: E402
-    load_ubm_phones, make_ubm_speaker, synth_ubm)
+    UBM_PATH, load_ubm_phones, make_ubm_speaker, synth_ubm)
 from speaker_recognition_tpu.vad.ltsd import LtsdVad  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(UBM_PATH),
+    reason="reference UBM not mounted: the anchored generator needs "
+           f"{UBM_PATH} (these tests exercise the VAD on UBM-anchored "
+           "speech; the tone/noise LTSD tests in test_vad.py still run)")
 
 FS = 8000
 
