@@ -126,7 +126,16 @@ def main():
     print("# " + " ".join(f"{k}={v[0]:.0f}(iqr {v[1]:.0f})"
                           for k, v in results.items())
           + " audio-s/s", file=sys.stderr)
-    value = max(v[0] for v in results.values())
+    # Headline = what production serving actually dispatches at this
+    # geometry (VERDICT r4 item 6) — NOT the best variant of the sweep.
+    # The best-of row is still printed above for the record; if the
+    # dispatch build failed on this backend, fall back to the best
+    # available variant (serving would fall back too).
+    dispatch_key = "dispatch_" + "_".join(dispatch_variant)
+    best = max(v[0] for v in results.values())
+    value = results.get(dispatch_key, (best, 0.0))[0]
+    print(f"# headline=dispatched({dispatch_key})={value:.0f}"
+          f" best_variant={best:.0f} audio-s/s", file=sys.stderr)
     # Phase metrics go to an UNCOMMITTED run-local file (ADVICE r2: bench
     # runs must not mutate checked-in artifacts); curated results are
     # committed explicitly from experiments/ scripts.

@@ -229,9 +229,25 @@ def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.065):
     }
 
 
+# Style analogues of the reference corpus's speaking styles
+# (doc/Final-Report-Complete/dataset.tex:8-21: Reading / Spontaneous /
+# Whisper; the published whisper accuracy row is nperson-mix-1523-t5-
+# whisper.log). "whisper" = no voicing at all: every phone is excited by
+# aspiration noise shaped by the same speaker-warped vocal tract, with
+# slightly widened formant bandwidths (radius_pow > 1 pulls poles toward
+# the origin) — the F0/glottal identity cues disappear and only the
+# tract warp carries the speaker, which is exactly why the reference's
+# whisper accuracy sits below its reading accuracy.
+STYLE_PARAMS = {
+    "reading": {},
+    "whisper": {"unvoiced_frac": 1.0, "whisper_radius_pow": 1.06},
+}
+
+
 def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
               unvoiced_frac=0.25, breath_scale=1.0, jitter=0.15,
-              shimmer=0.25, attack_ms=20.0, pause_p=0.05):
+              shimmer=0.25, attack_ms=20.0, pause_p=0.05,
+              whisper_radius_pow=1.0):
     """One utterance: random phone sequence, glottal-pulse/noise excitation
     through the (speaker-warped, session-drifted) UBM all-pole filters in
     the pre-emphasis domain, then de-emphasis.
@@ -267,7 +283,7 @@ def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
         A = _stabilize(_warp_poles(
             stab_cache[k],
             angle_scale * (pa[k] if pa is not None else 1.0),
-            (pr[k] if pr is not None else 1.0)))
+            (pr[k] if pr is not None else 1.0) * whisper_radius_pow))
         dur = int(FS * (0.06 + 0.14 * rng.rand()))
         dur = min(dur, n - pos)
         if dur <= 0:
@@ -322,6 +338,9 @@ def main():
                     help="UBM-anchored speakers: all-pole vocal tracts from "
                          "the reference's shipped 256-mix UBM (see header)")
     ap.add_argument("--ubm-path", default=UBM_PATH)
+    ap.add_argument("--style", choices=sorted(STYLE_PARAMS), default="reading",
+                    help="ubm mode: speaking-style analogue (dataset.tex:8-21"
+                         "; whisper = noise-excited, widened bandwidths)")
     ap.add_argument("--phones", type=int, default=96,
                     help="ubm mode: candidate components for selection")
     ap.add_argument("--keep-phones", type=int, default=24,
@@ -371,9 +390,11 @@ def main():
         _cfg34 = FeatureConfig(mfcc=bob_mfcc_config(cmvn=False),
                                lpc=LpcConfig(), use_lpc=True)
 
+        style_kw = dict(STYLE_PARAMS[args.style])
+
         def speaker_ll(spk, probe_rng):
             wav = synth_ubm(spk, phones, 4.0, probe_rng,
-                            session_spread=0.0)
+                            session_spread=0.0, **style_kw)
             feat = _extract.mix_feature(FS, wav.astype(np.float64), _cfg34)
             return float(np.asarray(_gmm.per_frame_loglik(
                 _p, _jnp.asarray(feat, _jnp.float32), 1e-15)).mean())
@@ -388,11 +409,12 @@ def main():
                     break
             seg_s = args.seconds / args.segments
             wav = np.concatenate([
-                synth_ubm(spk, phones, seg_s, rng, session_spread=sess)
+                synth_ubm(spk, phones, seg_s, rng, session_spread=sess,
+                          **style_kw)
                 for _ in range(args.segments)])
             wavfile.write(os.path.join(args.outdir, f"spk_{i:03d}.wav"),
                           FS, wav)
-        print(f"wrote {args.speakers} UBM-ANCHORED speakers "
+        print(f"wrote {args.speakers} UBM-ANCHORED {args.style} speakers "
               f"({args.keep_phones}/{args.phones} selected phones from "
               f"{args.ubm_path}, spread "
               f"{spread}/{args.session_spread}) x {args.seconds}s "

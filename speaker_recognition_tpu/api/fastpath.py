@@ -213,8 +213,35 @@ def default_variant(fs: int, cfg: FeatureConfig, padded_len: int,
 # XLA floor, not crash. A variant that has succeeded at a geometry before
 # (_OK_VARIANTS) is never marked broken by a later TRANSIENT failure —
 # that call falls back once and the fast variant is retried next call.
+# Hardened per ADVICE r4:
+#   * mutation is lock-guarded and both sets are bounded (a long-lived
+#     server with many geometries must not grow them without limit);
+#   * a variant is only marked OK after the result is BLOCKED on, so an
+#     async runtime failure cannot first surface outside the try in the
+#     caller (the block is paid once per key, then skipped);
+#   * only backend compile/launch errors trigger the fallback — genuine
+#     bugs (shape/type errors in operand prep) propagate, and
+#     SRTPU_FASTPATH_STRICT=1 re-raises everything (CI uses it so tests
+#     cannot silently pass on the floor path).
+import threading
+
+_FALLBACK_LOCK = threading.Lock()
+_VARIANT_CACHE_MAX = 4096
 _BROKEN_VARIANTS: set[tuple] = set()
 _OK_VARIANTS: set[tuple] = set()
+
+
+def _is_backend_error(e: Exception) -> bool:
+    """Compile/launch failures raised by the backend runtime (XLA, Mosaic,
+    the remote tunnel) — the ONLY class the fallback machinery may eat."""
+    names = {"XlaRuntimeError", "JaxRuntimeError", "MosaicError",
+             "InternalError", "ResourceExhaustedError", "UnavailableError"}
+    return any(k.__name__ in names for k in type(e).__mro__)
+
+
+def _strict() -> bool:
+    import os
+    return os.environ.get("SRTPU_FASTPATH_STRICT", "0") not in ("0", "")
 
 
 def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
@@ -251,14 +278,29 @@ def fused_scores(signals: jnp.ndarray, lengths: jnp.ndarray,
                                extract._matmul_precision())
         try:
             out = fn(*args)
-            _OK_VARIANTS.add(key)
+            if key not in _OK_VARIANTS:
+                # validate the FIRST call at this key before marking OK:
+                # dispatch is async, so a runtime (non-compile) device
+                # failure would otherwise surface later in the caller,
+                # outside this try (ADVICE r4). Once validated, steady-
+                # state calls skip the block.
+                jax.block_until_ready(out)
+                with _FALLBACK_LOCK:
+                    if len(_OK_VARIANTS) >= _VARIANT_CACHE_MAX:
+                        _OK_VARIANTS.clear()  # only an optimization cache
+                    _OK_VARIANTS.add(key)
             return out
-        except Exception as e:  # noqa: BLE001 - compile/launch failure
+        except Exception as e:  # noqa: BLE001 - classified below
             import sys
+            if _strict() or not _is_backend_error(e):
+                raise  # a genuine bug must not degrade silently to the floor
             if key not in _OK_VARIANTS:
                 # first call at this geometry = the compile: a failure
                 # here is deterministic, never retry
-                _BROKEN_VARIANTS.add(key)
+                with _FALLBACK_LOCK:
+                    if len(_BROKEN_VARIANTS) >= _VARIANT_CACHE_MAX:
+                        _BROKEN_VARIANTS.clear()
+                    _BROKEN_VARIANTS.add(key)
                 verdict = "marked broken"
             else:
                 verdict = "transient; will retry next call"

@@ -83,6 +83,13 @@ class ModelInterface:
 
     # -- predict -----------------------------------------------------------
 
+    def _require_trained(self, what: str):
+        """Public-API precondition: a real error, not an `assert` (which
+        `python -O` strips, turning the failure into an opaque
+        AttributeError deep in the scoring path — ADVICE r4)."""
+        if self.gmmset.bank is None:
+            raise RuntimeError(f"train() must run before {what}()")
+
     def predict(self, fs: int, signal):
         """Label of one utterance, or None on feature failure
         (interface.py:85-94).
@@ -97,7 +104,7 @@ class ModelInterface:
         Matching the reference, only FEATURE failures (unreadable input,
         signal too short) map to None; programming errors — predicting
         before train(), a broken scoring path — still raise."""
-        assert self.gmmset.bank is not None, "train() must run before predict"
+        self._require_trained("predict")
         try:
             signal = np.asarray(signal)
             if extract.signal_too_short(fs, self.config.features,
@@ -114,6 +121,19 @@ class ModelInterface:
                                    self.config.features, dtype=self.config.dtype)
         return self.gmmset.predict_one_with_rejection(feat)
 
+    def calibrate_rejection(self, fs: int, genuine_signals, imposter_signals,
+                            target: str = "eer", max_far: float = 0.05):
+        """Set the open-set rejection threshold from development audio
+        (GMMSet.calibrate_rejection; VERDICT r4 item 4). The calibrated
+        threshold persists with the session (dump/load round-trips it)."""
+        self._require_trained("calibrate_rejection")
+        feats = lambda sigs: [extract.mix_feature(
+            fs, np.asarray(s), self.config.features,
+            dtype=self.config.dtype) for s in sigs]
+        return self.gmmset.calibrate_rejection(
+            feats(genuine_signals), feats(imposter_signals),
+            target=target, max_far=max_far)
+
     def predict_batch(self, fs: int, signals) -> list:
         """Batched prediction: features + bank scoring for many utterances
         in one padded device program. Returns labels in input order.
@@ -123,7 +143,7 @@ class ModelInterface:
         program per bucket instead of compiling per distinct B (a fresh
         fused-program compile costs seconds through the remote backend);
         padded rows have zero length, score as invalid and are dropped."""
-        assert self.gmmset.bank is not None
+        self._require_trained("predict_batch")
         sigs = [np.asarray(s, np.float64) for s in signals]
         for i, s in enumerate(sigs):
             if s.ndim > 1:
@@ -195,7 +215,7 @@ class ModelInterface:
         calls this once at startup so no user request pays it. The
         duration list defaults to the conversation window and the common
         test-clip lengths. Requires a trained bank."""
-        assert self.gmmset.bank is not None, "train() before warmup()"
+        self._require_trained("warmup")
         for b in batch_sizes:
             for dur in durations:
                 n = int(fs * dur)

@@ -234,6 +234,62 @@ class GMMSet:
     def predict_with_reject(self, X):
         return [self.predict_one_with_rejection(x) for x in X]
 
+    # -- rejection calibration (VERDICT r4 item 4) -------------------------
+
+    def rejection_margin(self, x) -> float:
+        """The open-set decision statistic for one utterance: best
+        per-frame bank score minus the UBM per-frame score — exactly what
+        predict_one_with_rejection thresholds (gmmset.py:69-81)."""
+        scores, ubm_score = self.llr_scores(x)
+        return float(np.max(scores) - ubm_score)
+
+    def calibrate_rejection(self, dev_genuine, dev_imposter,
+                            target: str = "eer", max_far: float = 0.05):
+        """Set reject_threshold from development data instead of the
+        reference's fixed constant 10 (gmmset.py:18) — which r4 measured
+        to be a corpus-dependent operating point (on the anchored corpus
+        genuine margins are ~1-2 nats, so threshold 10 rejects 100% of
+        genuine trials; experiments/results/r4_reject_ubm.jsonl).
+
+        dev_genuine / dev_imposter: lists of feature arrays [T, d]
+        (utterances of enrolled speakers / of impostors). target:
+          "eer" — threshold where false-accept and false-reject rates
+                  cross (the transferable operating point);
+          "far" — smallest threshold with FAR <= max_far on the dev set.
+        Returns the operating point dict (also what gets persisted with
+        the session: reject_threshold round-trips via state())."""
+        if self.ubm is None:
+            raise RuntimeError("calibrate_rejection requires a UBM")
+        if not dev_genuine or not dev_imposter:
+            raise ValueError("both dev sets must be non-empty")
+        g = np.asarray([self.rejection_margin(x) for x in dev_genuine])
+        i = np.asarray([self.rejection_margin(x) for x in dev_imposter])
+        # candidate thresholds: midpoints of the pooled sorted margins
+        # (every distinct (FAR, FRR) trade-off appears at one of these)
+        pooled = np.sort(np.concatenate([g, i]))
+        cands = np.concatenate([[pooled[0] - 1.0],
+                                (pooled[:-1] + pooled[1:]) / 2.0,
+                                [pooled[-1] + 1.0]])
+        far = np.asarray([(i >= t).mean() for t in cands])   # false accept
+        frr = np.asarray([(g < t).mean() for t in cands])    # false reject
+        if target == "eer":
+            k = int(np.argmin(np.abs(far - frr)))
+        elif target == "far":
+            ok = np.nonzero(far <= max_far)[0]
+            if len(ok) == 0:
+                k = len(cands) - 1  # reject everything: FAR = 0
+            else:
+                k = int(ok[0])      # smallest such threshold: lowest FRR
+        else:
+            raise ValueError(f"unknown target {target!r}")
+        self.reject_threshold = float(cands[k])
+        return {"threshold": self.reject_threshold,
+                "far": float(far[k]), "frr": float(frr[k]),
+                "eer": float((far[k] + frr[k]) / 2.0),
+                "target": target, "n_genuine": len(g), "n_imposter": len(i),
+                "genuine_margins": [round(float(v), 4) for v in g],
+                "imposter_margins": [round(float(v), 4) for v in i]}
+
     def load_gmm(self, label: str, fname: str):
         """Append a pre-trained GMM from a reference-format text model file
         as a new speaker (GMMSet.load_gmm, gmmset.py:83-88)."""

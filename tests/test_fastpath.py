@@ -152,6 +152,62 @@ def test_predict_batch_uses_fastpath(monkeypatch):
     assert got == want == list(SPEAKER_FREQS)
 
 
+def test_fallback_classification(monkeypatch):
+    """ADVICE r4: only backend errors may degrade to the floor program —
+    genuine bugs propagate, and SRTPU_FASTPATH_STRICT=1 re-raises even
+    backend errors so CI cannot silently pass on the fallback path."""
+    fcfg = FeatureConfig()
+    signals, lengths = _batch(B=4)
+    bank = _bank(3, 8, fcfg.dim)
+    monkeypatch.setenv("SRTPU_PALLAS", "interpret")
+    want = _want(signals, lengths, bank, fcfg)
+
+    class XlaRuntimeError(Exception):  # name is what classifies it
+        pass
+
+    # pin a non-floor dispatch so the fallback chain has two candidates
+    # (at B=4 the real table already dispatches the floor variant)
+    monkeypatch.setattr(fastpath, "default_variant",
+                        lambda *a, **k: ("xla", "f32", "xla_wide"))
+    real_fn = fastpath.predict_scores_fn
+    calls = []
+
+    def fake(fs, cfg, padded, front, mm, scoring, *a, **k):
+        calls.append((front, mm, scoring))
+        if len(calls) == 1:           # the dispatched fast variant
+            def boom(*_a):
+                raise XlaRuntimeError("simulated Mosaic compile failure")
+            return boom
+        return real_fn(fs, cfg, padded, front, mm, scoring, *a, **k)
+
+    monkeypatch.setattr(fastpath, "predict_scores_fn", fake)
+    monkeypatch.setattr(fastpath, "_BROKEN_VARIANTS", set())
+    monkeypatch.setattr(fastpath, "_OK_VARIANTS", set())
+    got = fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
+    assert got is not None and len(calls) == 2  # fell back to the floor
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+    assert len(fastpath._BROKEN_VARIANTS) == 1  # compile failure remembered
+
+    # strict mode: the same backend failure re-raises instead
+    calls.clear()
+    monkeypatch.setattr(fastpath, "_BROKEN_VARIANTS", set())
+    monkeypatch.setenv("SRTPU_FASTPATH_STRICT", "1")
+    with pytest.raises(XlaRuntimeError):
+        fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
+    monkeypatch.delenv("SRTPU_FASTPATH_STRICT")
+
+    # a non-backend error (a genuine bug) propagates even without strict
+    def fake_bug(fs, cfg, padded, front, mm, scoring, *a, **k):
+        def boom(*_a):
+            raise ValueError("operand prep bug")
+        return boom
+
+    monkeypatch.setattr(fastpath, "predict_scores_fn", fake_bug)
+    monkeypatch.setattr(fastpath, "_BROKEN_VARIANTS", set())
+    with pytest.raises(ValueError):
+        fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
+
+
 def test_geometry_gate():
     fcfg = FeatureConfig()
     assert fastpath.fused_geometry_ok(FS, fcfg, 8192)

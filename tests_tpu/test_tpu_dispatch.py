@@ -19,6 +19,7 @@ from speaker_recognition_tpu.api import fastpath  # noqa: E402
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.realpath(__file__))),
                    "experiments", "results", "r4_geometry_sweep.jsonl")
+FLOOR_ART = os.path.join(os.path.dirname(ART), "r3_scoring_scale.jsonl")
 
 
 def _load():
@@ -28,6 +29,19 @@ def _load():
         if "variant" in r:
             by_geom.setdefault(r["geometry"], {})[r["variant"]] = r
     return by_geom
+
+
+def _measured_dispatch_floor() -> float:
+    """Median of the recorded per-program dispatch-floor measurements
+    (r3_scoring_scale.jsonl 'dispatch_floor' rows: the wall of an empty
+    jitted program through the tunnel). ADVICE r4: the small-batch
+    exemption below must track this measured constant, not a hardcoded
+    1.5e-3, so the guard tightens if dispatch overhead drops."""
+    import statistics
+    rows = [json.loads(l) for l in open(FLOOR_ART)]
+    floors = [r["seconds"] for r in rows if r.get("phase") == "dispatch_floor"]
+    assert floors, f"no dispatch_floor rows in {FLOOR_ART}"
+    return statistics.median(floors)
 
 
 def test_dispatch_beats_floor_at_every_swept_geometry():
@@ -79,13 +93,14 @@ def test_dispatch_beats_floor_at_every_swept_geometry():
                     fl["seconds_per_batch"])
         # and within one IQR of the fastest measured variant — EXCEPT in
         # the dispatch-floor regime: programs whose best variant runs
-        # under ~1.5x the measured ~1 ms per-program tunnel floor
-        # (r3_scoring_scale.jsonl) rank by floor noise, not kernel merit
-        # (r4 sweep: the B=16/32/64 winner flips between adjacent batch
-        # sizes with spreads larger than any cross-variant gap), so there
-        # only the not-slower-than-floor bound above is meaningful.
+        # under 1.5x the MEASURED per-program tunnel floor
+        # (r3_scoring_scale.jsonl dispatch_floor rows, ~1.1 ms) rank by
+        # floor noise, not kernel merit (r4 sweep: the B=16/32/64 winner
+        # flips between adjacent batch sizes with spreads larger than any
+        # cross-variant gap), so there only the not-slower-than-floor
+        # bound above is meaningful.
         best = min(variants.values(), key=lambda r: r["seconds_per_batch"])
-        if best["seconds_per_batch"] < 1.5e-3:
+        if best["seconds_per_batch"] < 1.5 * _measured_dispatch_floor():
             continue
         slack = max(ch["iqr_seconds"], best["iqr_seconds"])
         assert ch["seconds_per_batch"] <= \
