@@ -164,18 +164,25 @@ def _warp_poles(A, angle_scale, radius_pow=1.0):
     return np.real(np.poly(warped))
 
 
-def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0):
+def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0,
+                      excitation="pulse"):
     """Quality-select the phone inventory: synthesize each candidate
-    component with pulse excitation and keep the `keep` components whose
-    output scores best under the UBM itself (self-likelihood ranking).
+    component with the STYLE'S excitation and keep the `keep` components
+    whose output scores best under the UBM itself (self-likelihood
+    ranking).
 
     The UBM mixes voiced-speech components with whisper/fricative/noise
     ones whose mean-LPC filters make poor pulse-excited phones (measured
     self-ll spread: -72 to -28 across 96 candidates); selecting the top
     quartile moved the corpus-level anchor score from ~ -55 to ~ -45
-    (experiments/results/r4_ubm_anchor.jsonl). All candidates score
-    better under pulse than noise excitation (voiced fraction 1.0 in the
-    r4 measurement), so a per-phone excitation mode is unnecessary."""
+    (experiments/results/r4_ubm_anchor.jsonl). For the READING style all
+    candidates score better under pulse than noise excitation (voiced
+    fraction 1.0 in the r4 measurement). The WHISPER style inverts the
+    criterion: ranking by NOISE-excited self-likelihood picks the UBM's
+    own breathy/fricative components — with pulse-ranked phones the
+    80-speaker whisper corpus measured a 27.9-nat band gap
+    (r5_ubm_anchor.jsonl) because voiced-phone envelopes excited by
+    noise are off the manifold of the UBM's whisper training frames."""
     import jax.numpy as jnp
     import scipy.signal as _sig
     from speaker_recognition_tpu.models import gmm as _gmm
@@ -194,11 +201,14 @@ def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0):
     scores = []
     for j in range(len(w)):
         Aj = _stabilize(A[j])
-        f0 = 140.0
-        ph = np.cumsum(np.full(FS, f0 * (1 + 0.1 * np.sin(
-            2 * np.pi * 3 * t / FS)))) / FS
-        exc = (np.diff(np.floor(ph), prepend=0) > 0).astype(float) \
-            * np.sqrt(FS / f0) + 0.08 * rng.randn(FS)
+        if excitation == "noise":
+            exc = rng.randn(FS)
+        else:
+            f0 = 140.0
+            ph = np.cumsum(np.full(FS, f0 * (1 + 0.1 * np.sin(
+                2 * np.pi * 3 * t / FS)))) / FS
+            exc = (np.diff(np.floor(ph), prepend=0) > 0).astype(float) \
+                * np.sqrt(FS / f0) + 0.08 * rng.randn(FS)
         x = _sig.lfilter([1.0], [1.0, -0.95], _sig.lfilter([1.0], Aj, exc))
         x = x / np.abs(x).max() * 9000
         feat = _extract.mix_feature(FS, x.astype(np.float64), cfg)
@@ -240,14 +250,15 @@ def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.065):
 # whisper accuracy sits below its reading accuracy.
 STYLE_PARAMS = {
     "reading": {},
-    "whisper": {"unvoiced_frac": 1.0, "whisper_radius_pow": 1.06},
+    "whisper": {"unvoiced_frac": 1.0, "whisper_radius_pow": 1.06,
+                "excitation": "noise"},  # phone-selection criterion
 }
 
 
 def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
               unvoiced_frac=0.25, breath_scale=1.0, jitter=0.15,
               shimmer=0.25, attack_ms=20.0, pause_p=0.05,
-              whisper_radius_pow=1.0):
+              whisper_radius_pow=1.0, noise_tilt=0.0):
     """One utterance: random phone sequence, glottal-pulse/noise excitation
     through the (speaker-warped, session-drifted) UBM all-pole filters in
     the pre-emphasis domain, then de-emphasis.
@@ -308,6 +319,10 @@ def synth_ubm(spk, phones, seconds, rng, session_spread=0.015,
             exc = exc + breath_scale * spk["breath"] * rng.randn(dur)
         else:
             exc = rng.randn(dur)
+            if noise_tilt:
+                # shaped aspiration: glottal turbulence is not white
+                exc = sig.lfilter([1.0], [1.0, -noise_tilt], exc)
+                exc = exc / (np.std(exc) + 1e-9)
         env = np.minimum(1.0, np.minimum(
             np.arange(dur) / (attack_ms * 1e-3 * FS),
             (dur - np.arange(dur)) / (attack_ms * 1e-3 * FS)))
@@ -362,8 +377,9 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.RandomState(args.seed)
     if args.ubm:
-        phones = select_ubm_phones(args.ubm_path, args.phones,
-                                   args.keep_phones, args.seed)
+        phones = select_ubm_phones(
+            args.ubm_path, args.phones, args.keep_phones, args.seed,
+            excitation=STYLE_PARAMS[args.style].get("excitation", "pulse"))
         spread = (args.speaker_spread if args.speaker_spread != 0.10
                   else 0.03)  # ubm-mode default (v6+: phone_jitter carries
                               # identity; the global warp stays small)
@@ -391,6 +407,7 @@ def main():
                                lpc=LpcConfig(), use_lpc=True)
 
         style_kw = dict(STYLE_PARAMS[args.style])
+        style_kw.pop("excitation", None)  # phone-selection only
 
         def speaker_ll(spk, probe_rng):
             wav = synth_ubm(spk, phones, 4.0, probe_rng,

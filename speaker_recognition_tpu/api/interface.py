@@ -143,7 +143,22 @@ class ModelInterface:
         program per bucket instead of compiling per distinct B (a fresh
         fused-program compile costs seconds through the remote backend);
         padded rows have zero length, score as invalid and are dropped."""
-        self._require_trained("predict_batch")
+        scores, valid = self.scores_batch(fs, signals)
+        # argmax on the fetched [n, S] host-side: a device argmax would be
+        # an eager per-shape op dispatch (and compile on first use)
+        idx = scores.argmax(axis=-1)
+        # an utterance with no valid frames (too short / VAD-stripped) ties
+        # every speaker at 0.0 — report None like the serial predict() path
+        return [self.gmmset.y[int(i)] if ok else None
+                for i, ok in zip(idx, valid)]
+
+    def scores_batch(self, fs: int, signals):
+        """Batched per-speaker average log-likelihoods: ([n, S] scores in
+        self.gmmset.y's speaker order, [n] validity) for many utterances
+        through one padded device program (same path predict_batch
+        decides on; exposed because serving and experiment harnesses
+        often need the scores, not just the argmax)."""
+        self._require_trained("scores_batch")
         sigs = [np.asarray(s, np.float64) for s in signals]
         for i, s in enumerate(sigs):
             if s.ndim > 1:
@@ -196,14 +211,8 @@ class ModelInterface:
             else:
                 scores = _batched_bank_scores(bank, feats.astype(dt), mask)
             valid = np.asarray(mask).any(axis=-1)
-        # argmax on the fetched [B, S] host-side: a device argmax would be
-        # an eager per-shape op dispatch (and compile on first use)
-        idx = np.asarray(scores).argmax(axis=-1)
-        # an utterance with no valid frames (too short / VAD-stripped) ties
-        # every speaker at 0.0 — report None like the serial predict() path;
         # batch-bucket padding rows are sliced off
-        return [self.gmmset.y[int(i)] if ok else None
-                for i, ok in zip(idx[:n_real], valid[:n_real])]
+        return np.asarray(scores)[:n_real], np.asarray(valid)[:n_real]
 
     def warmup(self, fs: int, durations=(1.5, 3.0, 5.0), batch_sizes=(1,)):
         """Pre-compile the serving programs for the given utterance
