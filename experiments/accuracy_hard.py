@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--trials", type=int, default=3,
                     help="seeds per configuration")
     ap.add_argument("--tests-per-person", type=int, default=10)
+    ap.add_argument("--nspeakers", default="4,10,20,40",
+                    help="comma list for the curve (r5 extends to 80)")
+    ap.add_argument("--test-seconds", default="3,5",
+                    help="comma list of test fragment durations")
     args = ap.parse_args()
 
     import jax
@@ -71,8 +75,8 @@ def main():
         return acc, t
 
     if not args.skip_curve:
-        for test_s in (3.0, 5.0):
-            for n in (4, 10, 20, 40):
+        for test_s in [float(x) for x in args.test_seconds.split(",")]:
+            for n in [int(x) for x in args.nspeakers.split(",")]:
                 if n > len(samples):
                     continue
                 accs = []

@@ -217,10 +217,11 @@ def _levinson_unrolled_T(rT: jnp.ndarray, order: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("floor", "fshift", "interpret",
-                                    "mm_bf16", "cmvn", "fuse_lpc"))
+                                    "mm_bf16", "cmvn", "fuse_lpc", "ablate"))
 def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
                         fshift: int, interpret: bool, mm_bf16: bool = False,
-                        cmvn: bool = False, fuse_lpc: bool = False):
+                        cmvn: bool = False, fuse_lpc: bool = False,
+                        ablate: frozenset = frozenset()):
     """Signal-level fused frontend: framing happens IN the kernel.
 
     For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
@@ -236,6 +237,14 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
     signals: [B, Lp] with Lp % fshift == 0, zero-padded past each
     utterance's true length. Returns ([B, T, nceps] pre-CMVN MFCC,
     [B, T, nac] LPC autocorrelation) with T = Lp//fshift - 1.
+
+    `ablate` is a PROFILING-ONLY hook (experiments/frontend_ablation.py,
+    VERDICT r4 item 7): a frozenset of stage names whose work is replaced
+    by a cheap placeholder so the stage's cycle share can be measured by
+    difference. Tokens: "roll" (reuse the un-rolled rows), "square"
+    (Y = X), "log" (identity), "dct" (slice instead of matmul), "mel"
+    (skip mel/log/dct; slice X), "acorr" (skip the autocorr matmul and
+    Levinson; slice X). NEVER set in production — outputs are wrong.
     """
     B, Lp = signals.shape
     flen = D.shape[0]
@@ -265,7 +274,10 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
         # the next utterance (and the block wrap) only affect each
         # utterance's last row, dropped by the [:T] output slice.
         s = s_ref[:].reshape(U * rows, fshift)
-        nxt = pltpu.roll(s, U * rows - 1, 0)   # == roll(-1): row f+1 -> f
+        if "roll" in ablate:
+            nxt = s
+        else:
+            nxt = pltpu.roll(s, U * rows - 1, 0)  # == roll(-1): row f+1 -> f
         if mm_bf16:
             # Mosaic's rotate only supports 32-bit data, so the roll stays
             # f32 and the cast happens at the matmul operands.
@@ -273,11 +285,18 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
             nxt = nxt.astype(jnp.bfloat16)
         X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
-        Y = X * X
-        mel = jnp.dot(Y, w_ref[:], preferred_element_type=jnp.float32)
-        logmel = jnp.log(jnp.maximum(mel, floor))
-        ceps = jnp.dot(logmel, dct_ref[:],
-                       preferred_element_type=jnp.float32)
+        Y = X if "square" in ablate else X * X
+        if "mel" in ablate:
+            ceps = X[:, :nceps]
+        else:
+            mel = jnp.dot(Y, w_ref[:], preferred_element_type=jnp.float32)
+            logmel = (mel if "log" in ablate
+                      else jnp.log(jnp.maximum(mel, floor)))
+            if "dct" in ablate:
+                ceps = logmel[:, :nceps]
+            else:
+                ceps = jnp.dot(logmel, dct_ref[:],
+                               preferred_element_type=jnp.float32)
         if cmvn:
             # per-utterance masked mean/sigma norm fused in (the separate
             # XLA passes cost ~0.4 ms/batch, bench_breakdown); sublane
@@ -298,6 +317,9 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
                 parts.append(jnp.where(cnt > 1, normed, cu))
             ceps = jnp.concatenate(parts, axis=0)
         out_ref[:] = ceps.reshape(U, rows, nceps)[:, :T]
+        if "acorr" in ablate:
+            r_ref[:] = X[:, :n_out2].reshape(U, rows, n_out2)[:, :T]
+            return
         racorr = jnp.dot(Y, a_ref[:], preferred_element_type=jnp.float32)
         if fuse_lpc:
             # Levinson-Durbin fused in, on the transposed autocorrelation
@@ -353,7 +375,8 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                         A: np.ndarray, interpret: bool = False,
                         mm_bf16: bool = False,
                         n_valid: jnp.ndarray | None = None,
-                        cmvn: bool = False, fuse_lpc: bool = False):
+                        cmvn: bool = False, fuse_lpc: bool = False,
+                        ablate: str = ""):
     """[B, Lp] zero-padded signals -> ([B, T, nceps] MFCC, [B, T, *] LPC),
     T = Lp//fshift - 1; framing fused into the kernel (requires
     frame_len == 2*fshift). mm_bf16 feeds the DFT matmul bf16 operands
@@ -385,7 +408,8 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                                  jnp.asarray(W_p), jnp.asarray(dct_p),
                                  jnp.asarray(A, jnp.float32), float(floor),
                                  int(fshift), interpret, bool(mm_bf16),
-                                 bool(cmvn), bool(fuse_lpc))
+                                 bool(cmvn), bool(fuse_lpc),
+                                 frozenset(x for x in ablate.split(",") if x))
     return out[:B], r[:B]
 
 
