@@ -114,12 +114,90 @@ def worker_main(args):
     scores = jax.block_until_ready(score(bank, Xs, ms))
     score_s = time.perf_counter() - t0
 
+    # -- collective cost split (VERDICT r4 item 8) -----------------------
+    # Per-EM-iteration stats with and without the cross-shard psum: the
+    # same local matmuls, out_specs differing only in whether the EmStats
+    # reduce over 'data' (collective) or stack per-shard (no transport).
+    # The difference is the collective's cost on THIS transport (in-process
+    # XLA reduction at 1 process; gloo over localhost across processes).
+    import functools as _ft
+    from jax.sharding import PartitionSpec as _P
+    params_rep = jax.tree.map(
+        lambda a: jax.make_array_from_callback(
+            a.shape, rep, lambda i, a=a: np.asarray(a)[i]), params)
+
+    @_ft.partial(jax.shard_map, mesh=mesh,
+                 in_specs=(_P(), data_sh.spec, mask_sh.spec), out_specs=_P())
+    def stats_psum(p, Xa, ma):
+        local = gmm.sufficient_stats(p, Xa, ma)
+        # frames shard over the flattened ("data","bank") axes
+        return jax.tree.map(
+            lambda s: jax.lax.psum(s, ("data", "bank")), local)
+
+    local_specs = gmm.EmStats(
+        n=_P(("data", "bank")), N_k=_P(("data", "bank"), None),
+        F_k=_P(("data", "bank"), None, None),
+        S_k=_P(("data", "bank"), None, None))
+
+    @_ft.partial(jax.shard_map, mesh=mesh,
+                 in_specs=(_P(), data_sh.spec, mask_sh.spec),
+                 out_specs=local_specs)
+    def stats_local(p, Xa, ma):
+        local = gmm.sufficient_stats(p, Xa, ma)
+        return jax.tree.map(lambda s: s[None], local)
+
+    f_psum = jax.jit(stats_psum)
+    f_local = jax.jit(stats_local)
+
+    def timeit(f, *a, reps=20):
+        jax.block_until_ready(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    t_psum = timeit(f_psum, params_rep, Xg, mg)
+    t_local = timeit(f_local, params_rep, Xg, mg)
+
+    # all_gather cost for the bank-sharded scores: gathered vs shard-local
+    @_ft.partial(jax.shard_map, mesh=bmesh,
+                 in_specs=(_P(("data", "bank"), None),
+                           _P(("data", "bank"), None, None),
+                           _P(("data", "bank"), None, None), _P(), _P()),
+                 out_specs=_P(), check_vma=False)
+    def score_gather(w, m2, s2, Xa, ma):
+        local = gmm.bank_avg_loglik(gmm.GmmParams(w, m2, s2), Xa, ma)
+        return jax.lax.all_gather(local, axis_name=("data", "bank"),
+                                  tiled=True)
+
+    @_ft.partial(jax.shard_map, mesh=bmesh,
+                 in_specs=(_P(("data", "bank"), None),
+                           _P(("data", "bank"), None, None),
+                           _P(("data", "bank"), None, None), _P(), _P()),
+                 out_specs=_P(("data", "bank")))
+    def score_local(w, m2, s2, Xa, ma):
+        return gmm.bank_avg_loglik(gmm.GmmParams(w, m2, s2), Xa, ma)
+
+    f_sg = jax.jit(lambda b, Xa, ma: score_gather(
+        b.weights, b.means, b.sigmas, Xa, ma))
+    f_sl = jax.jit(lambda b, Xa, ma: score_local(
+        b.weights, b.means, b.sigmas, Xa, ma))
+    t_gather = timeit(f_sg, bank, Xs, ms)
+    t_scorelocal = timeit(f_sl, bank, Xs, ms)
+
     if args.worker == 0:
         out = {
             "processes": jax.process_count(),
             "devices": n_dev,
             "em_seconds": em_s,
             "score_seconds": score_s,
+            "stats_psum_seconds": t_psum,
+            "stats_local_seconds": t_local,
+            "psum_cost_seconds": max(t_psum - t_local, 0.0),
+            "score_gather_seconds": t_gather,
+            "score_local_seconds": t_scorelocal,
+            "gather_cost_seconds": max(t_gather - t_scorelocal, 0.0),
             "ll": float(np.asarray(ll.addressable_data(0))),
             "weights": np.asarray(params.weights.addressable_data(0)),
             "means": np.asarray(params.means.addressable_data(0)),
@@ -127,8 +205,10 @@ def worker_main(args):
             "scores": np.asarray(scores.addressable_data(0)),
         }
         np.savez(args.result, **out)
-        print(f"# worker 0: np={out['processes']} em={em_s:.3f}s "
-              f"score={score_s:.3f}s ll={out['ll']:.3f}", flush=True)
+        print(f"# worker 0: np={out['processes']} dev={n_dev} "
+              f"em={em_s:.3f}s psum_cost={out['psum_cost_seconds']*1e3:.2f}ms"
+              f" gather_cost={out['gather_cost_seconds']*1e3:.2f}ms "
+              f"ll={out['ll']:.3f}", flush=True)
 
 
 def launch(num_processes: int, frames: int, mixtures: int, iters: int,
@@ -158,6 +238,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--configs", default="1x1,1x4,2x2,4x1",
+                    help="comma list of PROCESSESxDEVICES_EACH cells")
     ap.add_argument("--frames", type=int, default=32768)
     ap.add_argument("--mixtures", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
@@ -171,44 +253,89 @@ def main():
 
     import numpy as np
 
-    r1 = args.result.replace(".npz", "_np1.npz")
-    r2 = args.result.replace(".npz", "_np2.npz")
-    t0 = time.perf_counter()
-    launch(1, args.frames, args.mixtures, args.iters, r1)
-    launch(args.num_processes, args.frames, args.mixtures, args.iters, r2)
-    a, b = np.load(r1), np.load(r2)
+    # configs: "PxD" = P processes x D virtual devices each. The logical
+    # mesh (P*D devices) is identical along a diagonal (1x4, 2x2, 4x1), so
+    # the wall difference between them isolates the cross-PROCESS (gloo)
+    # transport from in-process XLA reduction — the r5 collective-overhead
+    # split (VERDICT r4 item 8).
+    results = {}
+    for spec in args.configs.split(","):
+        p, d = (int(v) for v in spec.split("x"))
+        r = args.result.replace(".npz", f"_{p}x{d}.npz")
+        launch(p, args.frames, args.mixtures, args.iters, r,
+               devices_per_process=d)
+        results[spec] = np.load(r)
 
-    # cross-process psum EM must equal the 1-process fit to f32 reduction
-    # tolerance (summation order differs across shards)
-    for k, tol in [("weights", 1e-5), ("means", 1e-4), ("sigmas", 1e-4),
-                   ("scores", 1e-4)]:
-        np.testing.assert_allclose(a[k], b[k], rtol=tol, atol=tol,
-                                   err_msg=k)
-    rel_ll = abs(float(a["ll"]) - float(b["ll"])) / abs(float(a["ll"]))
-    assert rel_ll < 1e-5, rel_ll
-    em_eff = float(a["em_seconds"]) / float(b["em_seconds"]) \
-        / args.num_processes * 1  # same-total-work (strong scaling) basis
-    row = {
-        "kind": "multiprocess_cpu_cluster",
-        "processes": int(b["processes"]),
-        "devices": int(b["devices"]),
-        "frames": args.frames,
-        "em_seconds_np1": float(a["em_seconds"]),
-        "em_seconds_np2": float(b["em_seconds"]),
-        "em_strong_scaling_efficiency": round(em_eff, 3),
-        "numerics_match": True,
-        "cores_on_host": os.cpu_count(),
-        "note": ("first real execution of jax.distributed multi-process "
-                 "path (gloo over localhost as DCN stand-in); host has "
-                 f"{os.cpu_count()} cores so efficiency measures harness "
-                 "overhead, not TPU scaling"),
-    }
-    print(json.dumps(row))
+    base_key = args.configs.split(",")[0]
+    a = results[base_key]
+    rows = []
+    for spec, b in results.items():
+        # every config must agree with the first to f32 reduction
+        # tolerance (summation order differs across shards)
+        for k, tol in [("weights", 1e-5), ("means", 1e-4),
+                       ("sigmas", 1e-4), ("scores", 1e-4)]:
+            np.testing.assert_allclose(a[k], b[k], rtol=tol, atol=tol,
+                                       err_msg=f"{spec}:{k}")
+        rel_ll = abs(float(a["ll"]) - float(b["ll"])) / abs(float(a["ll"]))
+        assert rel_ll < 1e-5, (spec, rel_ll)
+        row = {
+            "kind": "multiprocess_cpu_cluster",
+            "config": spec,
+            "processes": int(b["processes"]),
+            # b["devices"] is jax.device_count() = the GLOBAL device count
+            "devices_total": int(b["devices"]),
+            "frames": args.frames,
+            "em_seconds": round(float(b["em_seconds"]), 4),
+            "em_seconds_base": round(float(a["em_seconds"]), 4),
+            "stats_psum_ms": round(float(b["stats_psum_seconds"]) * 1e3, 3),
+            "stats_local_ms": round(
+                float(b["stats_local_seconds"]) * 1e3, 3),
+            "psum_cost_ms": round(float(b["psum_cost_seconds"]) * 1e3, 3),
+            "gather_cost_ms": round(
+                float(b["gather_cost_seconds"]) * 1e3, 3),
+            "numerics_match": True,
+            "cores_on_host": os.cpu_count(),
+            "note": ("jax.distributed multi-process path (gloo over "
+                     "localhost as DCN stand-in); host has "
+                     f"{os.cpu_count()} cores so wall times measure "
+                     "transport/harness overhead, not TPU scaling"),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+    # the diagonal comparison: same 4-device mesh, in-process vs 4-process
+    by_dev = {}
+    for spec, b in results.items():
+        tot = int(b["devices"])
+        by_dev.setdefault(tot, {})[spec] = b
+    for tot, group in by_dev.items():
+        if len(group) < 2:
+            continue
+        specs = sorted(group, key=lambda s: int(s.split("x")[0]))
+        lo, hi = group[specs[0]], group[specs[-1]]
+        row = {
+            "kind": "gloo_transport_split",
+            "devices_total": tot,
+            "in_process_config": specs[0],
+            "cross_process_config": specs[-1],
+            "em_gloo_overhead_s": round(
+                float(hi["em_seconds"]) - float(lo["em_seconds"]), 4),
+            "psum_cost_in_process_ms": round(
+                float(lo["psum_cost_seconds"]) * 1e3, 3),
+            "psum_cost_cross_process_ms": round(
+                float(hi["psum_cost_seconds"]) * 1e3, 3),
+            "gather_cost_in_process_ms": round(
+                float(lo["gather_cost_seconds"]) * 1e3, 3),
+            "gather_cost_cross_process_ms": round(
+                float(hi["gather_cost_seconds"]) * 1e3, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row))
     if args.out:
         path = args.out if os.path.isabs(args.out) else os.path.join(
             os.path.dirname(os.path.realpath(__file__)), args.out)
         with open(path, "a") as f:
-            f.write(json.dumps({"ts": time.time(), **row}) + "\n")
+            for row in rows:
+                f.write(json.dumps({"ts": time.time(), **row}) + "\n")
 
 
 if __name__ == "__main__":
