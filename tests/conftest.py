@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# CI runs the fastpath in strict mode: a fast-variant failure re-raises
+# instead of silently degrading to the XLA floor (ADVICE r4 — tests must
+# never pass on the fallback path without noticing). Tests that exercise
+# the fallback machinery itself monkeypatch this off/on explicitly.
+os.environ.setdefault("SRTPU_FASTPATH_STRICT", "1")
 
 import jax  # noqa: E402
 

@@ -160,6 +160,7 @@ def test_fallback_classification(monkeypatch):
     signals, lengths = _batch(B=4)
     bank = _bank(3, 8, fcfg.dim)
     monkeypatch.setenv("SRTPU_PALLAS", "interpret")
+    monkeypatch.setenv("SRTPU_FASTPATH_STRICT", "0")  # conftest sets 1
     want = _want(signals, lengths, bank, fcfg)
 
     class XlaRuntimeError(Exception):  # name is what classifies it
@@ -194,7 +195,7 @@ def test_fallback_classification(monkeypatch):
     monkeypatch.setenv("SRTPU_FASTPATH_STRICT", "1")
     with pytest.raises(XlaRuntimeError):
         fastpath.fused_scores(signals, lengths, bank, FS, fcfg)
-    monkeypatch.delenv("SRTPU_FASTPATH_STRICT")
+    monkeypatch.setenv("SRTPU_FASTPATH_STRICT", "0")
 
     # a non-backend error (a genuine bug) propagates even without strict
     def fake_bug(fs, cfg, padded, front, mm, scoring, *a, **k):
