@@ -59,6 +59,19 @@ class TestEnrollPredict:
         serial = [trained_model.predict(FS, s) for s in sigs]
         assert batch == serial == list(SPEAKER_FREQS)
 
+    def test_scores_batch_matches_predict(self, trained_model):
+        sigs = [synth_utterance(l, 2.0, seed=320 + i)
+                for i, l in enumerate(SPEAKER_FREQS)]
+        scores, valid = trained_model.scores_batch(FS, sigs)
+        assert scores.shape == (len(sigs), len(SPEAKER_FREQS))
+        assert valid.all()
+        labels = [trained_model.gmmset.y[i] for i in scores.argmax(-1)]
+        assert labels == trained_model.predict_batch(FS, sigs)
+        import pytest as _pytest
+        from speaker_recognition_tpu.api.interface import ModelInterface
+        with _pytest.raises(RuntimeError, match="train"):
+            ModelInterface(small_config()).scores_batch(FS, sigs)
+
     def test_dump_load_same_decisions(self, trained_model, tmp_path):
         path = str(tmp_path / "model.npz")
         trained_model.dump(path)
