@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--channel-db", type=float, nargs="+", default=[0.0, 6.0])
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--jfa-iters", type=int, default=20)
+    ap.add_argument("--train-d", action="store_true",
+                    help="train the residual diagonal d (train_all.m's "
+                         "third stage) — the high-rank speaker term")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -202,7 +205,8 @@ def main():
                         t0 = time.time()
                         model = jfa_pipeline.train_jfa(
                             ubm, N_bg, F_bg, bg_ids, nv=nv, nu=nu,
-                            n_iter=args.jfa_iters, seed=seed)
+                            n_iter=args.jfa_iters, seed=seed,
+                            train_d=args.train_d)
                         y, z = jfa_pipeline.enroll(
                             model, N_en, F_en, enroll_ids, S)
                         scores_jfa = jfa_pipeline.score(
@@ -213,6 +217,7 @@ def main():
                         emit({"kind": "jfa_cell", "seed": seed,
                               "channel_db": ch_db, "n_bg": n_bg,
                               "nv": nv, "nu": nu,
+                              "train_d": bool(args.train_d),
                               "acc_jfa": round(acc_jfa, 4),
                               "eer_jfa": round(eer_jfa, 4),
                               "acc_map": round(acc_map, 4),
