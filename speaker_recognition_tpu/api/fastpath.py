@@ -63,9 +63,13 @@ def fused_geometry_ok(fs: int, cfg: FeatureConfig, padded_len: int) -> bool:
         lgeom = frame_geometry(fs, lp.win_length_ms, lp.win_shift_ms)
         if lgeom != (flen, fshift) or lp.pre_emph != mf.pre_emph:
             return False
+    from ..ops import pallas_frontend as _pf
     return (flen == 2 * fshift
             and padded_len % fshift == 0
             and (padded_len // fshift) % 8 == 0
+            # per-utterance scoped-VMEM row ceiling (pallas_frontend.
+            # MAX_UTT_ROWS): ~41 s clips and longer serve via XLA
+            and (padded_len // fshift) <= _pf.MAX_UTT_ROWS
             and mf.fft_size >= 2 * flen)
 
 

@@ -232,9 +232,15 @@ def _feature_fn(fs: int, cfg: FeatureConfig, padded_len: int, dtype: str,
         # audio-s/s for XLA at the serving workload (r2_breakdown), so
         # auto must never route through it (VERDICT r2 weak 3). Explicit
         # 'on'/'interpret' still forces it (tests, kernel development).
+        from ..ops import pallas_frontend as _pf
         signal_geom_ok = (flen == 2 * fshift
                           and padded_len % fshift == 0
-                          and (padded_len // fshift) % 8 == 0)
+                          and (padded_len // fshift) % 8 == 0
+                          # utterances past the kernel's per-utterance
+                          # scoped-VMEM row ceiling (~41 s) must take the
+                          # XLA path (r5: a 150 s clip OOM'd Mosaic's
+                          # 16 MB stack at 41.13 MB)
+                          and (padded_len // fshift) <= _pf.MAX_UTT_ROWS)
         pallas_forced = pallas_mode in ("1", "on", "interpret")
         if use_packed:
             if use_pallas and (signal_geom_ok or pallas_forced):

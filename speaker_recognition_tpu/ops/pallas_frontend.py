@@ -178,6 +178,15 @@ def _run_packed(frames, D, W, dct_t, A, floor: float, interpret: bool):
 # within budget everywhere and measured only ~1.1% slower at the 5 s
 # shape — the difference sits inside the recorded IQR band.
 MAX_STEP_ROWS = 1280
+# Hard per-UTTERANCE row ceiling. _utt_tile packs fewer utterances per
+# grid step as they grow, but a SINGLE utterance above ~52 s still blows
+# the scoped-VMEM stack: measured r5, a 150 s utterance (8352 rows)
+# allocates 41.13 MB against the 16 MB limit => ~5.0 KB/row, so the
+# ceiling is ~3250 rows; 2560 (41 s audio) leaves headroom for backend
+# variation. Callers (features/extract, api/fastpath) must route longer
+# utterances to the XLA packed path — it is bandwidth-bound but correct
+# at any length.
+MAX_UTT_ROWS = 2560
 # Back-compat/testing override: when set to an int (e.g. by
 # experiments/bench_utt_tile.py), forces that many utterances per step.
 UTT_TILE: int | None = None

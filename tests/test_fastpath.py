@@ -213,6 +213,18 @@ def test_geometry_gate():
     fcfg = FeatureConfig()
     assert fastpath.fused_geometry_ok(FS, fcfg, 8192)
     assert not fastpath.fused_geometry_ok(FS, fcfg, 8191)  # not % fshift
+    # per-utterance VMEM row ceiling (r5: a 150 s clip OOM'd the Mosaic
+    # scoped stack at 41.13 MB vs the 16 MB limit) — long clips go XLA
+    from speaker_recognition_tpu.ops import pallas_frontend as pf
+    too_long = (pf.MAX_UTT_ROWS + 8) * 128
+    assert not fastpath.fused_geometry_ok(FS, fcfg, too_long)
+    assert fastpath.default_variant(FS, fcfg, too_long, False)[0] == "xla"
+    # a long utterance still extracts (XLA path) end to end
+    rng = np.random.RandomState(3)
+    sig = (rng.randn(FS * 50) * 3000).astype(np.float64)
+    feat = extract.mix_feature(FS, sig, fcfg)
+    from speaker_recognition_tpu.config import n_frames
+    assert feat.shape[1] == fcfg.dim and np.isfinite(feat).all()
     # non-50%-overlap geometry
     from speaker_recognition_tpu.config import MfccConfig
     bad = FeatureConfig(mfcc=MfccConfig(win_shift_ms=10), use_lpc=False)
