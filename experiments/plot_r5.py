@@ -161,9 +161,9 @@ def conversation_figure():
     ax.set_ylim(0, 1.05)
     ax.grid(True, axis="y", alpha=0.25, linewidth=0.5)
     ax.spines[["top", "right"]].set_visible(False)
-    ax.set_title("Conversation mode: raw vs one-step-smoothed label "
-                 "accuracy (ticks split by turn boundaries)", fontsize=10,
-                 color=INK)
+    ax.set_title("Conversation mode: raw vs one-step-smoothed accuracy\n"
+                 "(ticks split by turn boundaries; dots = seeds)",
+                 fontsize=10, color=INK)
     fig.tight_layout()
     out = os.path.join(RES, "r5_conversation.pdf")
     fig.savefig(out)
