@@ -84,7 +84,8 @@ def main():
     sj = jnp.asarray(signals)
     nj = jnp.asarray(n_valid)
 
-    def run(ablate="", cmvn=True, fuse_lpc=True, mm_bf16=False):
+    def run(ablate="", cmvn=True, fuse_lpc=True, mm_bf16=False,
+            dft_concat=False):
         # jit the WHOLE call like production does (extract._feature_fn's
         # jitted fn): the numpy operator matrices fold into the program as
         # constants. Calling packed_from_signals eagerly re-uploads them
@@ -93,7 +94,7 @@ def main():
         jfn = jax.jit(lambda s, nv: pallas_frontend.packed_from_signals(
             s, fshift, D, W, dct_t, floor, A, interpret=interpret,
             mm_bf16=mm_bf16, n_valid=nv, cmvn=cmvn, fuse_lpc=fuse_lpc,
-            ablate=ablate))
+            ablate=ablate, dft_concat=dft_concat))
         return lambda: jfn(sj, nj)
 
     rows = []
@@ -136,6 +137,8 @@ def main():
         ("no_cmvn", dict(cmvn=False)),
         ("no_tails_at_all", dict(ablate="mel,acorr", cmvn=False)),
         ("mm_bf16", dict(mm_bf16=True)),
+        ("dft_concat_k256", dict(dft_concat=True)),
+        ("dft_concat_k256_bf16", dict(dft_concat=True, mm_bf16=True)),
     ]:
         med = measure(name, run(**kw))
         emit({"kind": "frontend_stage_share", "stage": name,

@@ -226,11 +226,13 @@ def _levinson_unrolled_T(rT: jnp.ndarray, order: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("floor", "fshift", "interpret",
-                                    "mm_bf16", "cmvn", "fuse_lpc", "ablate"))
+                                    "mm_bf16", "cmvn", "fuse_lpc", "ablate",
+                                    "dft_concat"))
 def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
                         fshift: int, interpret: bool, mm_bf16: bool = False,
                         cmvn: bool = False, fuse_lpc: bool = False,
-                        ablate: frozenset = frozenset()):
+                        ablate: frozenset = frozenset(),
+                        dft_concat: bool = False):
     """Signal-level fused frontend: framing happens IN the kernel.
 
     For the 50%-overlap geometry (frame_len == 2*fshift, the reference's
@@ -292,8 +294,21 @@ def _run_packed_signals(signals, n_valid, D, W, dct_t, A, floor: float,
             # f32 and the cast happens at the matmul operands.
             s = s.astype(jnp.bfloat16)
             nxt = nxt.astype(jnp.bfloat16)
-        X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
-             + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
+        if dft_concat:
+            # Measurement variant (r5, REJECTED for production): one
+            # K=2*fshift dot on VMEM-concatenated frame rows instead of
+            # two K=fshift dots. A sequential frontend-only measurement
+            # suggested -9.6%, but the INTERLEAVED A/B in the full
+            # predict program reads 1.548 vs 1.555 ms — inside one IQR
+            # (r5_breakdown.jsonl dft_concat_ab row); the sequential gap
+            # was session drift. Same X up to summation order (max ceps
+            # diff 6.6e-6). Kept as a flag for future re-measurement.
+            X = jnp.dot(jnp.concatenate([s, nxt], axis=1),
+                        jnp.concatenate([dt_ref[:], db_ref[:]], axis=0),
+                        preferred_element_type=jnp.float32)
+        else:
+            X = (jnp.dot(s, dt_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(nxt, db_ref[:], preferred_element_type=jnp.float32))
         Y = X if "square" in ablate else X * X
         if "mel" in ablate:
             ceps = X[:, :nceps]
@@ -385,7 +400,7 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                         mm_bf16: bool = False,
                         n_valid: jnp.ndarray | None = None,
                         cmvn: bool = False, fuse_lpc: bool = False,
-                        ablate: str = ""):
+                        ablate: str = "", dft_concat: bool = False):
     """[B, Lp] zero-padded signals -> ([B, T, nceps] MFCC, [B, T, *] LPC),
     T = Lp//fshift - 1; framing fused into the kernel (requires
     frame_len == 2*fshift). mm_bf16 feeds the DFT matmul bf16 operands
@@ -418,7 +433,8 @@ def packed_from_signals(signals: jnp.ndarray, fshift: int, D: np.ndarray,
                                  jnp.asarray(A, jnp.float32), float(floor),
                                  int(fshift), interpret, bool(mm_bf16),
                                  bool(cmvn), bool(fuse_lpc),
-                                 frozenset(x for x in ablate.split(",") if x))
+                                 frozenset(x for x in ablate.split(",") if x),
+                                 bool(dft_concat))
     return out[:B], r[:B]
 
 
