@@ -185,7 +185,8 @@ class GMMSet:
 
         Frame-bucketed + jitted: one program dispatch per call (the
         conversation-mode tick path; see SCORE_FRAME_BUCKET)."""
-        assert self.bank is not None, "train() must run before predict"
+        if self.bank is None:  # real error, python -O safe (ADVICE r4)
+            raise RuntimeError("train() must run before predict")
         from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
         Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
@@ -197,8 +198,10 @@ class GMMSet:
         """(per-speaker scores [S], ubm per-frame score) for one utterance —
         the open-set decision quantities (gmmset.py:69-81), exposed so
         callers need not recompute them."""
-        assert self.bank is not None, "train() must run before predict"
-        assert self.ubm is not None, "llr_scores requires a UBM"
+        if self.bank is None:
+            raise RuntimeError("train() must run before predict")
+        if self.ubm is None:
+            raise RuntimeError("llr_scores requires a UBM")
         from ..ops.pallas_gmm import serial_scoring_variant
         dt = jnp.dtype(self.dtype)
         Xp, mask = _pad_frames_bucket(np.asarray(x, dt))
@@ -223,8 +226,10 @@ class GMMSet:
     def predict_one_with_rejection(self, x):
         """Open-set decision (gmmset.py:69-81): reject (None) when the best
         per-frame score beats the UBM's by less than reject_threshold."""
-        assert self.ubm is not None, \
-            "UBM must be given prior to conduct reject prediction."
+        if self.ubm is None:
+            # the reference's own message (testbench/gmmset.py:71)
+            raise RuntimeError(
+                "UBM must be given prior to conduct reject prediction.")
         scores, ubm_score = self.llr_scores(x)
         best = int(np.argmax(scores))
         if scores[best] - ubm_score < self.reject_threshold:
@@ -309,7 +314,8 @@ class GMMSet:
     # -- persistence helpers ----------------------------------------------
 
     def state(self) -> dict:
-        assert self.bank is not None
+        if self.bank is None:
+            raise RuntimeError("train() must run before state()")
         st = {
             "labels": list(self.y),
             "weights": np.asarray(self.bank.weights),
