@@ -218,20 +218,64 @@ def select_ubm_phones(path=UBM_PATH, candidates=96, keep=24, seed=0,
     return w[idx] / w[idx].sum(), A[idx], mf[idx]
 
 
-def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.065):
+def make_identity_loadings(P, rank, seed=777):
+    """Cross-phone identity loading matrices, one per pole parameter
+    (angle, radius). Rows are unit-norm, so a rank-r draw z ~ N(0, I_r)
+    gives every phone the SAME marginal perturbation variance as the
+    i.i.d. draw — only the cross-phone covariance changes (rank r instead
+    of full rank P). This is the structure real voices have and the
+    i.i.d. generator lacks (r5_jfa_channel.jsonl mechanism note): vocal-
+    tract length/shape are a few anatomical degrees of freedom that
+    correlate the formants of every phone a speaker produces, which is
+    the premise of JFA's low-rank eigenvoice model (estimate_y_and_v.m).
+    The seed is fixed per corpus FAMILY (not per corpus): background and
+    evaluation casts must share the loading subspace for an eigenvoice
+    basis learned on one to transfer to the other, exactly as real
+    background and target speakers share human anatomy."""
+    rng = np.random.RandomState(seed)
+    L_angle = rng.randn(P, rank)
+    L_angle /= np.linalg.norm(L_angle, axis=1, keepdims=True)
+    L_radius = rng.randn(P, rank)
+    L_radius /= np.linalg.norm(L_radius, axis=1, keepdims=True)
+    return L_angle, L_radius
+
+
+def make_ubm_speaker(rng, phones, speaker_spread=0.04, phone_jitter=0.065,
+                     identity=None):
     """A speaker = global vocal-tract-length warp + F0 + breathiness PLUS
     a per-phone 'accent': independent angle/bandwidth perturbations of
     each phone's poles. The global warp alone leaves speakers nearly
     indistinguishable to a CMVN'd GMM (measured 0.27 accuracy at 20
     speakers); phone_jitter is the speaker-identity knob that tunes the
-    closed-set curve into the reference's regime."""
+    closed-set curve into the reference's regime.
+
+    identity = (L_angle, L_radius, rho) switches the per-phone draw from
+    i.i.d. to a low-rank-correlated one: a fraction rho of each phone's
+    perturbation variance comes from a shared rank-r subspace (see
+    make_identity_loadings), the rest stays i.i.d. — the same split JFA
+    itself models as v·y (low-rank eigenvoices) + d·z (diagonal
+    residual), train_all.m stages 1+3."""
     w, A, _ = phones
     P = len(w)
+    # rng draw order below is frozen for identity=None: it reproduces the
+    # r4/r5 corpora bit-for-bit from their recorded seeds
+    f0 = 95 + rng.rand() * 130
+    angle_scale = 1.0 + speaker_spread * rng.randn()
+    if identity is None:
+        pa = rng.randn(P)
+        pr = rng.randn(P)
+    else:
+        L_angle, L_radius, rho = identity
+        r = L_angle.shape[1]
+        pa = (np.sqrt(rho) * (L_angle @ rng.randn(r))
+              + np.sqrt(1.0 - rho) * rng.randn(P))
+        pr = (np.sqrt(rho) * (L_radius @ rng.randn(r))
+              + np.sqrt(1.0 - rho) * rng.randn(P))
     return {
-        "f0": 95 + rng.rand() * 130,
-        "angle_scale": 1.0 + speaker_spread * rng.randn(),
-        "phone_angle": 1.0 + phone_jitter * rng.randn(P),
-        "phone_radius": 1.0 + 0.5 * phone_jitter * rng.randn(P),
+        "f0": f0,
+        "angle_scale": angle_scale,
+        "phone_angle": 1.0 + phone_jitter * pa,
+        "phone_radius": 1.0 + 0.5 * phone_jitter * pr,
         "breath": 0.08 + rng.rand() * 0.12,
         "vibrato": 2 + rng.rand() * 4,
         # per-speaker phone-frequency tilt (speaking-style idiosyncrasy)
@@ -365,6 +409,28 @@ def main():
                          "(the speaker-identity / difficulty knob; 0.065 "
                          "measured jointly best for realism gap AND "
                          "reference-regime accuracy, r4_ubm_anchor.jsonl)")
+    ap.add_argument("--identity-rank", type=int, default=0,
+                    help="ubm mode: 0 = i.i.d. per-phone identity (the "
+                         "r4/r5 default); r > 0 draws a fraction "
+                         "--identity-rho of each phone's perturbation "
+                         "variance from a shared rank-r cross-phone "
+                         "subspace (real-voice anatomy structure; gives "
+                         "JFA's eigenvoices something to estimate)")
+    ap.add_argument("--identity-rho", type=float, default=0.75,
+                    help="ubm mode: shared-subspace variance fraction "
+                         "when --identity-rank > 0 (marginal per-phone "
+                         "variance is preserved either way)")
+    ap.add_argument("--identity-seed", type=int, default=777,
+                    help="ubm mode: seed of the loading matrices — fixed "
+                         "per corpus FAMILY so background and eval casts "
+                         "share the subspace (use the same value for "
+                         "corpora that must be JFA-compatible)")
+    ap.add_argument("--phone-seed", type=int, default=None,
+                    help="ubm mode: seed for phone-inventory selection "
+                         "(default: --seed). Corpora that must share a "
+                         "phone inventory (e.g. JFA background + eval) "
+                         "should pass the same value with different "
+                         "--seed speaker casts")
     ap.add_argument("--prototypes", type=int, default=8)
     ap.add_argument("--speaker-spread", type=float, default=0.10)
     ap.add_argument("--session-spread", type=float, default=0.03)
@@ -377,9 +443,15 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.RandomState(args.seed)
     if args.ubm:
+        phone_seed = args.seed if args.phone_seed is None else args.phone_seed
         phones = select_ubm_phones(
-            args.ubm_path, args.phones, args.keep_phones, args.seed,
+            args.ubm_path, args.phones, args.keep_phones, phone_seed,
             excitation=STYLE_PARAMS[args.style].get("excitation", "pulse"))
+        identity = None
+        if args.identity_rank > 0:
+            L_a, L_r = make_identity_loadings(
+                len(phones[0]), args.identity_rank, args.identity_seed)
+            identity = (L_a, L_r, args.identity_rho)
         spread = (args.speaker_spread if args.speaker_spread != 0.10
                   else 0.03)  # ubm-mode default (v6+: phone_jitter carries
                               # identity; the global warp stays small)
@@ -420,7 +492,7 @@ def main():
         for i in range(args.speakers):
             for attempt in range(12):
                 spk = make_ubm_speaker(rng, phones, spread,
-                                       args.phone_jitter)
+                                       args.phone_jitter, identity=identity)
                 if speaker_ll(spk, np.random.RandomState(1000 + i)) \
                         >= SPK_LL_GATE:
                     break
@@ -431,11 +503,14 @@ def main():
                 for _ in range(args.segments)])
             wavfile.write(os.path.join(args.outdir, f"spk_{i:03d}.wav"),
                           FS, wav)
+        ident_txt = ("iid" if identity is None else
+                     f"rank{args.identity_rank}/rho{args.identity_rho}"
+                     f"/lseed{args.identity_seed}")
         print(f"wrote {args.speakers} UBM-ANCHORED {args.style} speakers "
               f"({args.keep_phones}/{args.phones} selected phones from "
               f"{args.ubm_path}, spread "
-              f"{spread}/{args.session_spread}) x {args.seconds}s "
-              f"to {args.outdir}")
+              f"{spread}/{args.session_spread}, identity {ident_txt}) "
+              f"x {args.seconds}s to {args.outdir}")
         return
     if args.hard:
         protos = make_prototypes(rng, args.prototypes)
