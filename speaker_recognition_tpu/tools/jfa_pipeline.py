@@ -48,29 +48,71 @@ def collect_session_stats(ubm: gmm.GmmParams, feature_arrays):
     return np.asarray(N), np.asarray(F)
 
 
+def _self_consistency(model: "JfaModel", N, F, spk_ids) -> float:
+    """Closed-set accuracy of the model on its OWN training sessions
+    (enroll every training speaker from their sessions, score the same
+    sessions). A healthy JFA model separates the speakers it was trained
+    on nearly perfectly; a diverged v/u/d collapses this to ~1/n_speakers.
+    Cheap relative to training: one estimate_y/z + one linear-scoring
+    matmul over the already-collected stats."""
+    ids = np.asarray(spk_ids)
+    n_speakers = int(ids.max()) + 1
+    y, z = enroll(model, N, F, ids, n_speakers)
+    s = score(model, y, z, N, F)
+    return float((s.argmax(axis=0) == ids).mean())
+
+
 def train_jfa(ubm: gmm.GmmParams, N, F, spk_ids, nv: int = 4, nu: int = 2,
-              n_iter: int = 20, train_d: bool = False, seed: int = 0):
+              n_iter: int = 20, train_d: bool = False, seed: int = 0,
+              retries: int = 3):
     """Train eigenvoices, eigenchannels and (optionally) the residual
     diagonal. Defaults nv=4/nu=2 mirror the shipped scoring config
-    (kscore_famous_19.m). Returns a JfaModel."""
+    (kscore_famous_19.m). Returns a JfaModel.
+
+    Divergence guard (beyond the reference): the MATLAB chain
+    (train_all.m) runs 300 unregularized ML iterations from randn inits
+    and can diverge for an unlucky init — observed here as a
+    training-set self-consistency collapse to chance with inverted
+    verification scores (one cell of r5_identity_structure.jsonl, seed 1
+    / nv 8). After training, the model is self-scored on its own
+    background sessions; if accuracy is under max(0.5, 3/n_speakers) the
+    training is retried with the next derived init key (up to
+    `retries`), keeping the best-scoring model. Deterministic given
+    `seed`; healthy runs pass on the first attempt and are unchanged."""
     K = int(np.asarray(ubm.weights).shape[-1])
     m = jnp.asarray(np.asarray(ubm.means).reshape(-1), jnp.float32)
     E = jnp.asarray((np.asarray(ubm.sigmas) ** 2).reshape(-1), jnp.float32)
     N = jnp.asarray(N, jnp.float32)
     F = jnp.asarray(F, jnp.float32)
     spk_ids = jnp.asarray(np.asarray(spk_ids, np.int32))
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-
-    v, y = jfa.train_v(F, N, m, E, nv, spk_ids, K, n_iter=n_iter, key=k1)
-    u, x = jfa.train_u(F, N, m, E, v, y, nu, spk_ids, K, n_iter=n_iter, key=k2)
     D = m.shape[-1]
-    if train_d:
-        d_vec, _ = jfa.train_d(F, N, m, E, v, u, y, x, spk_ids, K,
-                               n_iter=n_iter)
-    else:
-        d_vec = jnp.zeros(D)
-    hyper = jfa.JfaHyper(m=m, E=E, v=v, u=u, d=d_vec)
-    return JfaModel(hyper=hyper, n_components=K)
+    n_speakers = int(np.asarray(spk_ids).max()) + 1
+    gate = max(0.5, 3.0 / n_speakers)
+
+    best = None
+    best_acc = -1.0
+    for attempt in range(max(1, retries)):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 7919 * attempt))
+        v, y = jfa.train_v(F, N, m, E, nv, spk_ids, K, n_iter=n_iter, key=k1)
+        u, x = jfa.train_u(F, N, m, E, v, y, nu, spk_ids, K,
+                           n_iter=n_iter, key=k2)
+        if train_d:
+            d_vec, _ = jfa.train_d(F, N, m, E, v, u, y, x, spk_ids, K,
+                                   n_iter=n_iter)
+        else:
+            d_vec = jnp.zeros(D)
+        model = JfaModel(hyper=jfa.JfaHyper(m=m, E=E, v=v, u=u, d=d_vec),
+                         n_components=K)
+        acc = _self_consistency(model, N, F, spk_ids)
+        if acc > best_acc:
+            best, best_acc = model, acc
+        if acc >= gate:
+            return model
+    import sys
+    print(f"jfa.train_jfa: self-consistency {best_acc:.3f} below gate "
+          f"{gate:.3f} after {max(1, retries)} init attempts; returning "
+          f"best attempt", file=sys.stderr)
+    return best
 
 
 def enroll(model: JfaModel, N, F, spk_ids, n_speakers: int):

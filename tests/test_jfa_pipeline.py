@@ -178,3 +178,51 @@ class TestJfaTextInterchangeCli:
         preds = [l.split("->")[1].split("(")[0].strip() for l in lines]
         correct = sum(p == f"spk{i}" for i, p in enumerate(preds))
         assert correct >= 3, lines
+
+
+class TestDivergenceGuard:
+    """train_jfa's self-consistency gate (beyond the reference): the
+    unregularized ML chain can diverge for an unlucky randn init
+    (observed: r5_identity_structure.jsonl seed 1 / nv 8 collapsed to
+    chance with EER 1.0); the guard self-scores the training sessions
+    and retries with the next derived key."""
+
+    def _world_stats(self):
+        ubm, utt = make_world()
+        feats, ids = [], []
+        s = 0
+        for spk in range(4):
+            for chan in (-1.0, 1.0):
+                for j in range(2):
+                    feats.append(utt(spk, chan, seed=100 + s))
+                    ids.append(spk)
+                    s += 1
+        N, F = jfa_pipeline.collect_session_stats(ubm, feats)
+        return ubm, N, F, ids
+
+    def test_healthy_training_unchanged_by_guard(self):
+        """Attempt 0 uses the exact pre-guard init key, so a healthy run
+        returns the identical model whether or not retries are allowed."""
+        ubm, N, F, ids = self._world_stats()
+        m1 = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=3, nu=1, n_iter=8,
+                                    retries=1)
+        m3 = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=3, nu=1, n_iter=8,
+                                    retries=3)
+        for a, b in zip(m1.hyper, m3.hyper):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_self_consistency_separates_healthy_from_corrupt(self):
+        ubm, N, F, ids = self._world_stats()
+        model = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=3, nu=1, n_iter=8)
+        healthy = jfa_pipeline._self_consistency(model, N, F, ids)
+        assert healthy >= 0.75, healthy
+        # corrupt the eigenvoices the way a diverged run looks: garbage v
+        rng = np.random.RandomState(0)
+        bad_v = jnp.asarray(
+            rng.randn(*np.asarray(model.hyper.v).shape).astype(np.float32)
+            * 1e3)
+        bad = jfa_pipeline.JfaModel(
+            hyper=model.hyper._replace(v=bad_v),
+            n_components=model.n_components)
+        corrupt = jfa_pipeline._self_consistency(bad, N, F, ids)
+        assert corrupt < healthy, (corrupt, healthy)
