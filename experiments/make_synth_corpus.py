@@ -443,6 +443,10 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.RandomState(args.seed)
     if args.ubm:
+        if not 0.0 <= args.identity_rho <= 1.0:
+            ap.error(f"--identity-rho must be in [0, 1], got "
+                     f"{args.identity_rho} (sqrt(1-rho) would be NaN and "
+                     f"every speaker's poles garbage)")
         phone_seed = args.seed if args.phone_seed is None else args.phone_seed
         phones = select_ubm_phones(
             args.ubm_path, args.phones, args.keep_phones, phone_seed,

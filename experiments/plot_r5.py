@@ -148,6 +148,8 @@ def jfa_structure_figure():
                      and r["channel_db"] == 6.0 and r["nv"] == 8)]
     maps = [r for r in data if r.get("kind") == "map_baseline"
             and r["corpus"] == "ubm_v8_structured_r8"]
+    if not cells or not maps:
+        return
 
     def curve(ch):
         pts = {}
@@ -173,9 +175,12 @@ def jfa_structure_figure():
                     xy=(4, mv), xytext=(2, 4), textcoords="offset points",
                     color=MUTED, fontsize=9)
     # control: the i.i.d.-identity corpus's best 6 dB JFA cell (nv=50+d)
-    iid = [r for r in rows("r5_jfa_channel.jsonl")
-           if r.get("kind") == "jfa_cell" and r.get("train_d")
-           and r["channel_db"] == 6.0]
+    try:
+        iid = [r for r in rows("r5_jfa_channel.jsonl")
+               if r.get("kind") == "jfa_cell" and r.get("train_d")
+               and r["channel_db"] == 6.0]
+    except FileNotFoundError:
+        iid = []
     if iid:
         by_cell = {}
         for r in iid:
@@ -206,14 +211,16 @@ def jfa_structure_figure():
         for r in cell_rows:
             by.setdefault((r["nv"], r["nu"]), []).append(
                 r["acc_jfa"] - r["acc_map"])
-        return max(sum(v) / len(v) for v in by.values())
+        return max((sum(v) / len(v) for v in by.values()), default=None)
 
-    m0 = margin(iid)
-    m04 = margin([r for r in data if r.get("kind") == "jfa_cell"
-                  and r["corpus"] == "ubm_v8_structured_r8_rho04"
-                  and r["channel_db"] == 6.0])
-    m75 = margin([r for r in cells if r["channel_db"] == 6.0])
-    rhos, margins = [0.0, 0.4, 0.75], [m0, m04, m75]
+    pts_rho = [(0.0, margin(iid)),
+               (0.4, margin([r for r in data if r.get("kind") == "jfa_cell"
+                             and r["corpus"] == "ubm_v8_structured_r8_rho04"
+                             and r["channel_db"] == 6.0])),
+               (0.75, margin([r for r in cells if r["channel_db"] == 6.0]))]
+    pts_rho = [(x, y) for x, y in pts_rho if y is not None]
+    rhos = [x for x, _ in pts_rho]
+    margins = [y for _, y in pts_rho]
     axr.axhline(0, color=MUTED, linewidth=0.9)
     axr.plot(rhos, margins, "-o", color=INK, linewidth=1.8, markersize=5)
     for x, y in zip(rhos, margins):

@@ -55,7 +55,10 @@ def _self_consistency(model: "JfaModel", N, F, spk_ids) -> float:
     on nearly perfectly; a diverged v/u/d collapses this to ~1/n_speakers.
     Cheap relative to training: one estimate_y/z + one linear-scoring
     matmul over the already-collected stats."""
-    ids = np.asarray(spk_ids)
+    # remap to contiguous 0-based ids: non-contiguous labels would enroll
+    # phantom zero-stat speakers whose all-zero score rows can win argmax
+    # ties and falsely fail the gate
+    _, ids = np.unique(np.asarray(spk_ids), return_inverse=True)
     n_speakers = int(ids.max()) + 1
     y, z = enroll(model, N, F, ids, n_speakers)
     s = score(model, y, z, N, F)
@@ -76,9 +79,10 @@ def train_jfa(ubm: gmm.GmmParams, N, F, spk_ids, nv: int = 4, nu: int = 2,
     verification scores (one cell of r5_identity_structure.jsonl, seed 1
     / nv 8). After training, the model is self-scored on its own
     background sessions; if accuracy is under max(0.5, 3/n_speakers) the
-    training is retried with the next derived init key (up to
-    `retries`), keeping the best-scoring model. Deterministic given
-    `seed`; healthy runs pass on the first attempt and are unchanged."""
+    training is retried with the next derived init key (`retries` counts
+    TOTAL attempts, so retries=3 means up to two retries after the
+    first), keeping the best-scoring model. Deterministic given `seed`;
+    healthy runs pass on the first attempt and are unchanged."""
     K = int(np.asarray(ubm.weights).shape[-1])
     m = jnp.asarray(np.asarray(ubm.means).reshape(-1), jnp.float32)
     E = jnp.asarray((np.asarray(ubm.sigmas) ** 2).reshape(-1), jnp.float32)
@@ -87,7 +91,10 @@ def train_jfa(ubm: gmm.GmmParams, N, F, spk_ids, nv: int = 4, nu: int = 2,
     spk_ids = jnp.asarray(np.asarray(spk_ids, np.int32))
     D = m.shape[-1]
     n_speakers = int(np.asarray(spk_ids).max()) + 1
-    gate = max(0.5, 3.0 / n_speakers)
+    # 3/n for large banks (3x chance), floored at 0.5 and capped at 0.75
+    # so the gate stays satisfiable for tiny banks (at n<=3 the old
+    # max(0.5, 3/n) was >= 1.0: unreachable, every run burned all retries)
+    gate = min(0.75, max(0.5, 3.0 / n_speakers))
 
     best = None
     best_acc = -1.0
@@ -206,6 +213,9 @@ def main(argv=None):
     t.add_argument("--iters", type=int, default=20)
     t.add_argument("--train-d", action="store_true")
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--retries", type=int, default=3,
+                   help="total training attempts for the divergence "
+                        "guard (self-consistency gate + re-init)")
 
     c = sub.add_parser("score", help="channel-compensated linear scores")
     c.add_argument("--ubm-dir", required=True)
@@ -248,7 +258,8 @@ def main(argv=None):
         _, spk_ids = _speaker_ids([str(v) for v in z["labels"]])
         model = train_jfa(ubm, z["N"], z["F"], spk_ids, nv=args.nv,
                           nu=args.nu, n_iter=args.iters,
-                          train_d=args.train_d, seed=args.seed)
+                          train_d=args.train_d, seed=args.seed,
+                          retries=args.retries)
         np.savez(args.output, n_components=model.n_components,
                  **{k: np.asarray(v) for k, v in
                     model.hyper._asdict().items()})

@@ -226,3 +226,35 @@ class TestDivergenceGuard:
             n_components=model.n_components)
         corrupt = jfa_pipeline._self_consistency(bad, N, F, ids)
         assert corrupt < healthy, (corrupt, healthy)
+
+    def test_gate_satisfiable_for_tiny_banks(self):
+        """max(0.5, 3/n) was >= 1.0 for n <= 3 speakers: unreachable, so
+        every tiny-bank training burned all retries. The capped gate must
+        accept a perfect 2-speaker model on the first attempt (retries=1
+        == retries=3 when healthy)."""
+        ubm, utt = make_world(n_spk=2)
+        feats, ids = [], []
+        s = 0
+        for spk in range(2):
+            for chan in (-1.0, 1.0):
+                for j in range(2):
+                    feats.append(utt(spk, chan, seed=100 + s))
+                    ids.append(spk)
+                    s += 1
+        N, F = jfa_pipeline.collect_session_stats(ubm, feats)
+        m1 = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=2, nu=1, n_iter=8,
+                                    retries=1)
+        m3 = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=2, nu=1, n_iter=8,
+                                    retries=3)
+        for a, b in zip(m1.hyper, m3.hyper):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_self_consistency_handles_noncontiguous_ids(self):
+        """Non-zero-based / gappy speaker labels must not enroll phantom
+        zero-stat speakers inside the gate check."""
+        ubm, N, F, ids = self._world_stats()
+        model = jfa_pipeline.train_jfa(ubm, N, F, ids, nv=3, nu=1, n_iter=8)
+        shifted = [i * 3 + 5 for i in ids]   # e.g. 5, 8, 11, 14
+        a = jfa_pipeline._self_consistency(model, N, F, ids)
+        b = jfa_pipeline._self_consistency(model, N, F, shifted)
+        assert a == b, (a, b)
